@@ -1,0 +1,310 @@
+"""Device-side GP math over tensor-encoded kernel trees.
+
+The kernel expression tree lives in a fixed-shape binary heap:
+  node_type: int32[M]   (M = 2^D - 1, codes in autogp_tpu.config; 0=inactive)
+  params:    float[M,3] (transformed, i.e. positive-constrained, values)
+
+Covariance assembly walks the heap in *static* post-order with a static
+value stack: every slot pushes exactly one [N1,N2] block (leaves / inactive
+slots from the formula table, operator slots by combining their two
+children, which are by construction the top two stack entries). All stack
+indices are static, so the whole evaluation is a fixed XLA program that
+vmaps across particles. Formula semantics mirror GP.jl:135-503.
+
+Reference: /root/reference/src/GP.jl.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autogp_tpu import config as C
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# Static heap helpers
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def postorder(depth_cap: int) -> Tuple[int, ...]:
+    """Post-order visit sequence of the full heap with 2^D - 1 slots."""
+    M = (1 << depth_cap) - 1
+
+    def rec(i):
+        if i >= M:
+            return []
+        return rec(2 * i + 1) + rec(2 * i + 2) + [i]
+
+    return tuple(rec(0))
+
+
+@functools.lru_cache(maxsize=None)
+def slot_depths(depth_cap: int) -> np.ndarray:
+    """1-based depth of each slot (GP.jl:1141)."""
+    M = (1 << depth_cap) - 1
+    return np.array([int(np.floor(np.log2(i + 1))) + 1 for i in range(M)],
+                    dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def ancestor_table(depth_cap: int) -> np.ndarray:
+    """[M, D] table: ancestors of slot i (including i), padded with -1."""
+    M = (1 << depth_cap) - 1
+    out = -np.ones((M, depth_cap), dtype=np.int32)
+    for i in range(M):
+        j, k = i, 0
+        while True:
+            out[i, k] = j
+            if j == 0:
+                break
+            j = (j - 1) // 2
+            k += 1
+    return out
+
+
+def is_leaf_code(t):
+    """True for primitive-kernel codes (1..5 and 9)."""
+    return ((t >= C.CONSTANT) & (t <= C.PERIODIC)) | (t == C.WHITE_NOISE)
+
+
+def is_op_code(t):
+    return (t >= C.PLUS) & (t <= C.CHANGEPOINT)
+
+
+# ---------------------------------------------------------------------------
+# Leaf covariance formulas (GP.jl:135-346)
+# ---------------------------------------------------------------------------
+
+def _leaf_cov(t, p, t1, t2):
+    """Covariance block for a leaf slot.
+
+    t: scalar int node type; p: [3] transformed params;
+    t1: [N1,1]; t2: [1,N2]. Returns [N1,N2].
+    Computed as a masked sum of all six formulas: under vmap a switch would
+    execute every branch anyway, and the masked form keeps XLA fusion simple.
+    """
+    dt = t1 - t2
+    adt = jnp.abs(dt)
+    dt2 = dt * dt
+    ones = jnp.ones(jnp.broadcast_shapes(t1.shape, t2.shape), t1.dtype)
+
+    k_const = p[0] * ones
+    k_wn = jnp.where(dt == 0, p[0], 0.0)
+    k_lin = p[1] + p[2] * (t1 - p[0]) * (t2 - p[0])
+    k_se = p[1] * jnp.exp(-0.5 * dt2 / (p[0] * p[0]))
+    # GammaExponential: |dt|^gamma is non-smooth at dt=0; the double-where
+    # guard keeps both the value and the gradient finite there
+    # (exp(-(0/l)^g) == 1 with zero gradient).
+    safe = jnp.where(adt == 0, 1.0, adt)
+    powg = jnp.where(adt == 0, 0.0, (safe / p[0]) ** p[1])
+    k_ge = p[2] * jnp.exp(-powg)
+    freq = math.pi / p[1]
+    s = jnp.sin(freq * adt)
+    k_per = p[2] * jnp.exp((-2.0 / (p[0] * p[0])) * s * s)
+
+    return (jnp.where(t == C.CONSTANT, k_const, 0.0)
+            + jnp.where(t == C.WHITE_NOISE, k_wn, 0.0)
+            + jnp.where(t == C.LINEAR, k_lin, 0.0)
+            + jnp.where(t == C.SQUARED_EXPONENTIAL, k_se, 0.0)
+            + jnp.where(t == C.GAMMA_EXPONENTIAL, k_ge, 0.0)
+            + jnp.where(t == C.PERIODIC, k_per, 0.0))
+
+
+def sigma_cp(x, location, scale):
+    """.5*(1 + tanh((location-x)/scale)) (GP.jl:481), written as
+    sigmoid(2u) which is numerically stable for large |u| (jnp.tanh
+    overflows to NaN around |u|~500 on some backends)."""
+    return jax.nn.sigmoid(2.0 * (location - x) / scale)
+
+
+def _combine(t, p, left, right, t1, t2):
+    """Operator combination for slot type t (GP.jl:371-503)."""
+    k_plus = left + right
+    k_times = left * right
+    s1 = sigma_cp(t1, p[0], C.CHANGEPOINT_SCALE)
+    s2 = sigma_cp(t2, p[0], C.CHANGEPOINT_SCALE)
+    k_cp = s1 * left * s2 + (1.0 - s1) * right * (1.0 - s2)
+    return (jnp.where(t == C.PLUS, k_plus, 0.0)
+            + jnp.where(t == C.TIMES, k_times, 0.0)
+            + jnp.where(t == C.CHANGEPOINT, k_cp, 0.0))
+
+
+def eval_cov(node_type, params, ts1, ts2, depth_cap: int):
+    """Covariance matrix [N1, N2] of the encoded tree on ts1 x ts2.
+
+    `params` must already be transformed to constrained space
+    (see autogp_tpu.model.transform_params).
+    """
+    M = (1 << depth_cap) - 1
+    t1 = ts1[:, None]
+    t2 = ts2[None, :]
+    bottom = M // 2  # slots >= bottom are at the deepest level: leaves only.
+    stack = []
+    for s in postorder(depth_cap):
+        t = node_type[s]
+        p = params[s]
+        if s >= bottom:
+            val = _leaf_cov(t, p, t1, t2)
+        else:
+            right = stack.pop()
+            left = stack.pop()
+            leaf_val = _leaf_cov(t, p, t1, t2)
+            op_val = _combine(t, p, left, right, t1, t2)
+            val = jnp.where(is_op_code(t), op_val, leaf_val)
+        stack.append(val)
+    assert len(stack) == 1
+    return stack[0]
+
+
+def compute_cov_matrix(node_type, params, noise, ts, depth_cap: int):
+    """eval_cov + noise*I (GP.jl:666-668)."""
+    K = eval_cov(node_type, params, ts, ts, depth_cap)
+    K = 0.5 * (K + K.T)  # ChangePoint tanh is only approximately symmetric.
+    return K + noise * jnp.eye(ts.shape[0], dtype=K.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Masked multivariate-normal log density
+# ---------------------------------------------------------------------------
+
+def masked_gram(K, mask):
+    """Replace masked-out rows/cols of K with the identity block.
+
+    With padding at the tail, K' is block-diagonal [K_active, I], so its
+    Cholesky factors and solves never mix active and padded entries.
+    """
+    m2 = mask[:, None] * mask[None, :]
+    eye = jnp.eye(K.shape[0], dtype=K.dtype)
+    return jnp.where(m2 > 0, K, eye)
+
+
+def mvn_logpdf_masked(K, x, mask):
+    """log N(x_active; 0, K_active) with static shapes.
+
+    K: [N,N] covariance *already* including observation noise on the active
+    diagonal; x: [N] with zeros at padding; mask: [N] {0,1}.
+    """
+    Km = masked_gram(K, mask)
+    L = jnp.linalg.cholesky(Km)
+    n = jnp.sum(mask)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+    alpha = jax.scipy.linalg.solve_triangular(L, x * mask, lower=True)
+    quad = jnp.sum(alpha * alpha)
+    return -0.5 * (n * LOG2PI + logdet + quad)
+
+
+def mvn_logpdf(mu, K, x):
+    """Dense MVN logpdf (Distributions.MvNormal semantics)."""
+    L = jnp.linalg.cholesky(K)
+    d = x - mu
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    alpha = jax.scipy.linalg.solve_triangular(L, d, lower=True)
+    return -0.5 * (x.shape[0] * LOG2PI + logdet + jnp.sum(alpha * alpha))
+
+
+def lml_masked(node_type, params, noise, ts, xs, mask, depth_cap: int):
+    """Log marginal likelihood of (ts, xs) under the encoded tree.
+
+    `noise` is the transformed observation-noise variance (incl. jitter).
+    Padded entries (mask==0) contribute nothing.
+    """
+    K = eval_cov(node_type, params, ts, ts, depth_cap)
+    K = 0.5 * (K + K.T)
+    K = K + noise * jnp.eye(ts.shape[0], dtype=K.dtype)
+    return mvn_logpdf_masked(K, xs, mask)
+
+
+# ---------------------------------------------------------------------------
+# Posterior predictive (GP.jl:731-758)
+# ---------------------------------------------------------------------------
+
+def posterior_mvn_masked(node_type, params, noise, ts, xs, mask, ts_pred,
+                         depth_cap: int, noise_pred=None):
+    """Conditional MVN of X(ts_pred) | X(ts_active) = xs_active.
+
+    Mirrors Distributions.MvNormal(node, noise, ts, xs, ts_pred) at
+    GP.jl:731-758 (Schur complement + symmetrization + noise_pred*I), with
+    the training block masked for padding.
+    """
+    if noise_pred is None:
+        noise_pred = noise
+    z = jnp.concatenate([ts, ts_pred])
+    K = eval_cov(node_type, params, z, z, depth_cap)
+    K = 0.5 * (K + K.T)
+    n = ts.shape[0]
+    K11 = K[:n, :n] + noise * jnp.eye(n, dtype=K.dtype)
+    K11 = masked_gram(K11, mask)
+    K12 = K[:n, n:] * mask[:, None]
+    K22 = K[n:, n:]
+    L = jnp.linalg.cholesky(K11)
+    # K11^{-1} x and K11^{-1} K12 via triangular solves.
+    sol_x = jax.scipy.linalg.cho_solve((L, True), xs * mask)
+    sol_K = jax.scipy.linalg.cho_solve((L, True), K12)
+    mu = K12.T @ sol_x
+    cov = K22 - K12.T @ sol_K
+    cov = 0.5 * (cov + cov.T)
+    cov = cov + noise_pred * jnp.eye(cov.shape[0], dtype=cov.dtype)
+    return mu, cov
+
+
+# ---------------------------------------------------------------------------
+# Joint posterior over latent GP-sum components (GP.jl:904-993)
+# ---------------------------------------------------------------------------
+
+def infer_gp_sum_from_blocks(Ktt, Ktp, Kpp, noise, xs, mask,
+                             noise_pred=None):
+    """Joint posterior over [F_1(T*),...,F_m(T*), X(T*)] | X(T)=x.
+
+    Ktt: [m,n,n], Ktp: [m,n,p], Kpp: [m,p,p] are the per-component
+    covariance blocks (already computed from each kernel); `mask` masks the
+    training block for padding. Returns (mu [(m+1)p], cov [(m+1)p,(m+1)p]).
+    Mirrors GP.jl:904-993 including symmetrization and the 1e-8 jitter.
+    """
+    if noise_pred is None:
+        noise_pred = noise
+    m, n, p = Ktp.shape
+    Ktt = 0.5 * (Ktt + jnp.swapaxes(Ktt, 1, 2))
+    Kpp = 0.5 * (Kpp + jnp.swapaxes(Kpp, 1, 2))
+    S_tt = jnp.sum(Ktt, axis=0)
+    S_tp = jnp.sum(Ktp, axis=0)
+    S_pp = jnp.sum(Kpp, axis=0)
+
+    d_a = m * p + p
+    # Sigma_aa: latent blocks + X(T*) row/col.
+    Saa = jnp.zeros((d_a, d_a), dtype=Ktt.dtype)
+    for i in range(m):
+        sl = slice(i * p, (i + 1) * p)
+        Saa = Saa.at[sl, sl].set(Kpp[i])
+        Saa = Saa.at[sl, m * p:].set(Kpp[i])
+        Saa = Saa.at[m * p:, sl].set(Kpp[i].T)
+    Saa = Saa.at[m * p:, m * p:].set(S_pp + noise_pred * jnp.eye(p, dtype=Kpp.dtype))
+
+    # Sigma_ab: cov of a-block with X(T).
+    Sab = jnp.concatenate(
+        [jnp.swapaxes(Ktp, 1, 2).reshape(m * p, n), S_tp.T], axis=0)
+    Sab = Sab * mask[None, :]
+
+    Sbb = S_tt + noise * jnp.eye(n, dtype=Ktt.dtype)
+    Sbb = masked_gram(Sbb, mask)
+    Saa = 0.5 * (Saa + Saa.T)
+
+    L = jnp.linalg.cholesky(Sbb)
+    mu = Sab @ jax.scipy.linalg.cho_solve((L, True), xs * mask)
+    cov = Saa - Sab @ jax.scipy.linalg.cho_solve((L, True), Sab.T)
+    cov = 0.5 * (cov + cov.T)
+    cov = cov + C.SUM_GP_JITTER * jnp.eye(d_a, dtype=cov.dtype)
+    return mu, cov
+
+
+def normal_quantile(q, mu, sigma):
+    """Marginal Gaussian quantiles (GP.jl:1006-1012)."""
+    from scipy.stats import norm
+    return norm.ppf(q, loc=mu, scale=sigma)

@@ -1,0 +1,288 @@
+"""Generative model: PCFG prior over kernel trees + MVN likelihood.
+
+Mirrors src/Model.jl of the reference:
+  - whitened parameters z ~ Normal(0,1) mapped to constrained space by
+    log-normal / logit-normal transforms (Model.jl:24-63);
+  - recursive prior over tree structures with per-depth node distributions
+    and changepoint gating (Model.jl:66-128);
+  - joint density = tree prior + Normal(0,1) noise prior + MVN likelihood
+    with noise = transform(z) + 1e-5 jitter (Model.jl:130-138).
+
+Everything operates on the tensor trace (node_type[M] int32, params[M,3])
+and is jit/vmap-friendly; tree sampling is a static loop over heap slots in
+BFS order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autogp_tpu import config as C
+from autogp_tpu import gp_math
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# Parameter transforms (Model.jl:24-63)
+# ---------------------------------------------------------------------------
+
+def transform_log_normal(z, mu, sigma):
+    return jnp.exp(mu + sigma * z)
+
+
+def untransform_log_normal(x, mu, sigma):
+    return (np.log(x) - mu) / sigma
+
+
+def transform_logit_normal(z, scale, mu, sigma):
+    return scale / (1.0 + jnp.exp(-(mu + sigma * z)))
+
+
+def untransform_logit_normal(x, scale, mu, sigma):
+    return (np.log(x / (scale - x)) - mu) / sigma
+
+
+def transform_param(field: str, z, config: C.GPConfig):
+    """Scalar transform by field name (Model.jl:35-48)."""
+    if field == "gamma":
+        p = config.prior["gamma"]
+        return transform_logit_normal(z, p["scale"], p["mu"], p["sigma"])
+    if field == "period":
+        p = config.prior["period"]
+        return transform_log_normal(z, p["mu"], p["sigma"])
+    p = config.prior["wildcard"]
+    return transform_log_normal(z, p["mu"], p["sigma"])
+
+
+def untransform_param(field: str, x, config: C.GPConfig):
+    """Scalar inverse transform by field name (Model.jl:50-63)."""
+    if field == "gamma":
+        p = config.prior["gamma"]
+        return untransform_logit_normal(x, p["scale"], p["mu"], p["sigma"])
+    if field == "period":
+        p = config.prior["period"]
+        return untransform_log_normal(x, p["mu"], p["sigma"])
+    p = config.prior["wildcard"]
+    return untransform_log_normal(x, p["mu"], p["sigma"])
+
+
+def transform_params(node_type, params_z, ttable):
+    """Vectorized whitened->constrained transform over the whole heap.
+
+    node_type: [M]; params_z: [M,3]; ttable: [4,3] rows (mu, sigma, scale)
+    indexed by transform kind. Returns [M,3] constrained params (0 at
+    unused slots).
+    """
+    kind = jnp.asarray(C.PARAM_KIND)[node_type]          # [M,3]
+    mu = ttable[kind, 0]
+    sigma = ttable[kind, 1]
+    scale = ttable[kind, 2]
+    lin = mu + sigma * params_z
+    lognorm = jnp.exp(lin)
+    logit = scale / (1.0 + jnp.exp(-lin))
+    out = jnp.where(kind == C.KIND_GAMMA, logit, lognorm)
+    return jnp.where(kind > 0, out, 0.0)
+
+
+def transform_noise(noise_z, config: C.GPConfig):
+    """Observation-noise variance incl. model jitter (Model.jl:133-134)."""
+    return transform_param("noise", noise_z, config) + C.MODEL_JITTER
+
+
+# ---------------------------------------------------------------------------
+# Static tables for the tree prior
+# ---------------------------------------------------------------------------
+
+def normal_logpdf(z):
+    return -0.5 * (z * z + LOG2PI)
+
+
+class PriorTables(NamedTuple):
+    """Static (numpy) tables derived from a GPConfig."""
+    node_dist: jnp.ndarray       # [3, 8] leaf / nocp / cp distributions
+    log_node_dist: jnp.ndarray   # [3, 8]
+    ttable: jnp.ndarray          # [4, 3] transform params
+    arity: jnp.ndarray           # [NUM_TYPES]
+    depths: jnp.ndarray          # [M] 1-based slot depths
+    ancestors: jnp.ndarray       # [M, D]
+    depth_cap: int
+    changepoints: bool
+
+
+def prior_tables(config: C.GPConfig) -> PriorTables:
+    nd = config.node_dist_table()
+    with np.errstate(divide="ignore"):
+        log_nd = np.log(nd)
+    D = config.depth_cap
+    return PriorTables(
+        node_dist=jnp.asarray(nd),
+        log_node_dist=jnp.asarray(log_nd),
+        ttable=jnp.asarray(config.transform_table()),
+        arity=jnp.asarray(C.PARAM_ARITY),
+        depths=jnp.asarray(gp_math.slot_depths(D)),
+        ancestors=jnp.asarray(gp_math.ancestor_table(D)),
+        depth_cap=D,
+        changepoints=config.changepoints,
+    )
+
+
+def _dist_row(depth, cp_allowed, tables: PriorTables):
+    """Index of the node distribution row for a slot (Model.jl:66-76)."""
+    at_cap = depth == tables.depth_cap
+    row = jnp.where(at_cap, 0, jnp.where(cp_allowed, 2, 1))
+    return row
+
+
+def in_subtree(slot_idx, root_idx, tables: PriorTables):
+    """Whether static slot `slot_idx` lies in the subtree of traced root."""
+    return jnp.any(tables.ancestors[slot_idx] == root_idx)
+
+
+# ---------------------------------------------------------------------------
+# Tree prior: log density (Model.jl:78-128)
+# ---------------------------------------------------------------------------
+
+def tree_prior_logpdf(node_type, params_z, tables: PriorTables,
+                      root_idx=0, root_cp_allowed=None):
+    """Log density of the subtree rooted at `root_idx` under the PCFG prior.
+
+    With root_idx=0 and root_cp_allowed=config.changepoints this is the full
+    tree prior. `root_cp_allowed` is a traced bool (changepoint gating for
+    subtree proposals, inference_rejuv_tree_sr.jl:27-39).
+    """
+    M = node_type.shape[0]
+    if root_cp_allowed is None:
+        root_cp_allowed = jnp.asarray(tables.changepoints)
+
+    active = node_type > 0
+    # cp_allowed per slot: root uses the gate; otherwise parent must be CP.
+    parent_idx = np.maximum(0, (np.arange(M) - 1) // 2)
+    parent_type = node_type[jnp.asarray(parent_idx)]
+    is_root = jnp.arange(M) == root_idx
+    cp_allowed = jnp.where(is_root, root_cp_allowed,
+                           parent_type == C.CHANGEPOINT)
+
+    rows = _dist_row(tables.depths, cp_allowed, tables)
+    # Code 9 (WhiteNoise) never appears under the prior; clamp for gather.
+    code_idx = jnp.clip(node_type - 1, 0, 7)
+    logp_type = tables.log_node_dist[rows, code_idx]
+
+    # Continuous parameters: z ~ Normal(0,1) per active param slot.
+    ar = tables.arity[node_type]                     # [M]
+    slot_mask = (jnp.arange(C.MAX_PARAMS)[None, :] < ar[:, None])
+    logp_params = jnp.sum(normal_logpdf(params_z) * slot_mask, axis=1)
+
+    member = jax.vmap(lambda s: in_subtree(s, root_idx, tables))(
+        jnp.arange(M))
+    contrib = jnp.where(active & member, logp_type + logp_params, 0.0)
+    return jnp.sum(contrib)
+
+
+# ---------------------------------------------------------------------------
+# Tree prior: sampling (Model.jl:78-128)
+# ---------------------------------------------------------------------------
+
+def sample_subtree(key, node_type, params_z, tables: PriorTables,
+                   root_idx=0, root_cp_allowed=None):
+    """Resample the subtree rooted at traced `root_idx` from the prior.
+
+    Slots outside the subtree keep their current values; slots inside are
+    overwritten (inactive descendants get node_type 0 / params 0). Returns
+    (node_type', params_z'). Works under vmap/jit: the BFS loop over heap
+    slots is static.
+    """
+    M = node_type.shape[0]
+    if root_cp_allowed is None:
+        root_cp_allowed = jnp.asarray(tables.changepoints)
+
+    keys = jax.random.split(key, M)
+    new_type = jnp.zeros_like(node_type)
+    new_params = jnp.zeros_like(params_z)
+
+    for s in range(M):
+        if s == 0:
+            parent_t = jnp.asarray(C.INACTIVE, dtype=node_type.dtype)
+        else:
+            parent_t = new_type[(s - 1) // 2]
+        member = in_subtree(s, root_idx, tables)
+        is_root = s == root_idx
+        # Active inside the subtree: the root itself, or child of an op.
+        active = member & (is_root | is_op_parent(parent_t))
+        cp_allowed = jnp.where(is_root, root_cp_allowed,
+                               parent_t == C.CHANGEPOINT)
+        row = _dist_row(tables.depths[s], cp_allowed, tables)
+        logits = tables.log_node_dist[row]
+        t = jax.random.categorical(keys[s], logits) + 1
+        t = jnp.where(active, t, 0).astype(node_type.dtype)
+        z = jax.random.normal(keys[s], (C.MAX_PARAMS,), params_z.dtype)
+        ar = tables.arity[t]
+        z = jnp.where(jnp.arange(C.MAX_PARAMS) < ar, z, 0.0)
+        new_type = new_type.at[s].set(t)
+        new_params = new_params.at[s].set(z)
+
+    member_all = jax.vmap(lambda s: in_subtree(s, root_idx, tables))(
+        jnp.arange(M))
+    out_type = jnp.where(member_all, new_type, node_type)
+    out_params = jnp.where(member_all[:, None], new_params, params_z)
+    return out_type, out_params
+
+
+def is_op_parent(t):
+    return (t == C.PLUS) | (t == C.TIMES) | (t == C.CHANGEPOINT)
+
+
+def sample_tree(key, tables: PriorTables, dtype=jnp.float32):
+    """Sample a full tree from the prior."""
+    M = (1 << tables.depth_cap) - 1
+    node_type = jnp.zeros((M,), dtype=jnp.int32)
+    params_z = jnp.zeros((M, C.MAX_PARAMS), dtype=dtype)
+    return sample_subtree(key, node_type, params_z, tables, root_idx=0)
+
+
+# ---------------------------------------------------------------------------
+# Joint score (Model.jl:130-138)
+# ---------------------------------------------------------------------------
+
+def lml(node_type, params_z, noise_z, ts, xs, mask, config: C.GPConfig,
+        tables: PriorTables):
+    params_t = transform_params(node_type, params_z, tables.ttable)
+    noise = transform_noise(noise_z, config)
+    return gp_math.lml_masked(node_type, params_t, noise, ts, xs, mask,
+                              tables.depth_cap)
+
+
+def joint_score(node_type, params_z, noise_z, ts, xs, mask,
+                config: C.GPConfig, tables: PriorTables):
+    """log p(tree, noise, xs) — the Gen trace score."""
+    lp_tree = tree_prior_logpdf(node_type, params_z, tables)
+    lp_noise = normal_logpdf(noise_z)
+    return lp_tree + lp_noise + lml(node_type, params_z, noise_z, ts, xs,
+                                    mask, config, tables)
+
+
+def generate(key, ts, xs, mask, config: C.GPConfig, tables: PriorTables,
+             noise_z_constraint=None, dtype=jnp.float32):
+    """Gen.generate(model, (ts, config), {xs[, noise]}) for one particle.
+
+    Samples tree (and noise unless constrained) from the prior; the
+    generate weight is the log density of the constrained choices:
+    LML (+ noise prior if noise is constrained).
+    Returns (node_type, params_z, noise_z, weight).
+    """
+    k_tree, k_noise = jax.random.split(key)
+    node_type, params_z = sample_tree(k_tree, tables, dtype=dtype)
+    if noise_z_constraint is None:
+        noise_z = jax.random.normal(k_noise, (), dtype=dtype)
+        w_noise = 0.0
+    else:
+        noise_z = jnp.asarray(noise_z_constraint, dtype=dtype)
+        w_noise = normal_logpdf(noise_z)
+    w = w_noise + lml(node_type, params_z, noise_z, ts, xs, mask, config,
+                      tables)
+    return node_type, params_z, noise_z, w

@@ -1,0 +1,21 @@
+"""Test configuration: CPU backend, 8 virtual devices, float64.
+
+Numerical-parity tests against the Julia reference semantics run in float64
+on CPU; multi-device sharding tests use the 8 virtual host devices
+(SURVEY.md §4 testing strategy).
+
+Note: the ambient environment registers a remote-TPU ("axon") backend via
+sitecustomize and forces jax_platforms to it through jax.config — so we
+must override through jax.config too, not just JAX_PLATFORMS.
+Set AUTOGP_TEST_TPU=1 to run the suite against the TPU instead.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+if os.environ.get("AUTOGP_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
