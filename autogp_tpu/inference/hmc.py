@@ -1,0 +1,159 @@
+"""Hamiltonian Monte Carlo on whitened kernel parameters and noise.
+
+Mirrors Gen.hmc as used by the reference (inference_smc_anneal_data.jl:33-76):
+per rejuvenation sweep, an HMC kernel over ALL numeric tree parameters
+(leaf params + changepoint locations) followed by a separate HMC kernel on
+the noise parameter, with an early-exit counter on consecutive rejections
+of the parameter kernel (`n_exit`).
+
+The target is the joint trace score; gradients flow through the covariance
+assembly and Cholesky via jax.grad. Leapfrog: standard Stoermer-Verlet with
+L steps of size eps (Gen defaults L=10, eps=0.02 at the call sites).
+
+All functions operate on ONE particle (vmap outside).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from autogp_tpu import config as C
+from autogp_tpu import model as M
+from autogp_tpu import tree as T
+
+
+class HMCConfig(NamedTuple):
+    """hmc_config dict of the reference (api.jl:201-206)."""
+    L_param: int = 10
+    eps_param: float = 0.02
+    L_noise: int = 10
+    eps_noise: float = 0.02
+    n_exit: int = 1
+
+
+def _joint_logp(node_type, params_z, noise_z, ts, xs, mask, cfg, tables,
+                pmask):
+    """log p(params, noise, xs | structure) — terms constant in
+    (params, noise) are omitted; both HMC kernels difference this."""
+    lp_params = jnp.sum(M.normal_logpdf(params_z) * pmask)
+    lp_noise = M.normal_logpdf(noise_z)
+    lml = M.lml(node_type, params_z, noise_z, ts, xs, mask, cfg, tables)
+    return lp_params + lp_noise + lml, lml
+
+
+def hmc_params_step(key, node_type, params_z, noise_z, lml_cached, data,
+                    cfg: C.GPConfig, tables, eps, L: int):
+    """One HMC trajectory over the tree parameters (noise fixed)."""
+    ts, xs, mask = data
+    pmask = T.param_mask(node_type).astype(params_z.dtype)
+
+    def U(p):
+        lp, lml = _joint_logp(node_type, p, noise_z, ts, xs, mask, cfg,
+                              tables, pmask)
+        return -lp, lml
+
+    k_mom, k_acc = jax.random.split(key)
+    mom0 = jax.random.normal(k_mom, params_z.shape, params_z.dtype) * pmask
+
+    (u0, _), g = jax.value_and_grad(U, has_aux=True)(params_z)
+    g = g * pmask
+
+    def leapfrog(carry, _):
+        q, p, g = carry
+        p = p - 0.5 * eps * g
+        q = q + eps * p * pmask
+        (_, _), g_new = jax.value_and_grad(U, has_aux=True)(q)
+        g_new = g_new * pmask
+        p = p - 0.5 * eps * g_new
+        return (q, p, g_new), None
+
+    (q_new, p_new, _), _ = jax.lax.scan(leapfrog, (params_z, mom0, g),
+                                        None, length=L)
+    (u1, lml1) = U(q_new)
+    dh = (u1 - u0) + 0.5 * (jnp.sum(p_new * p_new) - jnp.sum(mom0 * mom0))
+    accept = (jnp.log(jax.random.uniform(k_acc)) < -dh) & jnp.isfinite(dh)
+    return (jnp.where(accept, q_new, params_z),
+            jnp.where(accept, lml1, lml_cached),
+            accept)
+
+
+def hmc_noise_step(key, node_type, params_z, noise_z, lml_cached, data,
+                   cfg: C.GPConfig, tables, eps, L: int):
+    """One HMC trajectory on the noise parameter (params fixed)."""
+    ts, xs, mask = data
+    pmask = T.param_mask(node_type).astype(params_z.dtype)
+
+    def U(nz):
+        lp, lml = _joint_logp(node_type, params_z, nz, ts, xs, mask, cfg,
+                              tables, pmask)
+        return -lp, lml
+
+    k_mom, k_acc = jax.random.split(key)
+    mom0 = jax.random.normal(k_mom, (), noise_z.dtype)
+
+    (u0, _), g = jax.value_and_grad(U, has_aux=True)(noise_z)
+
+    def leapfrog(carry, _):
+        q, p, g = carry
+        p = p - 0.5 * eps * g
+        q = q + eps * p
+        (_, _), g_new = jax.value_and_grad(U, has_aux=True)(q)
+        p = p - 0.5 * eps * g_new
+        return (q, p, g_new), None
+
+    (q_new, p_new, _), _ = jax.lax.scan(leapfrog, (noise_z, mom0, g),
+                                        None, length=L)
+    (u1, lml1) = U(q_new)
+    dh = (u1 - u0) + 0.5 * (p_new * p_new - mom0 * mom0)
+    accept = (jnp.log(jax.random.uniform(k_acc)) < -dh) & jnp.isfinite(dh)
+    return (jnp.where(accept, q_new, noise_z),
+            jnp.where(accept, lml1, lml_cached),
+            accept)
+
+
+def rejuvenate_parameters(key, node_type, params_z, noise_z, lml_cached,
+                          data, cfg: C.GPConfig, tables,
+                          n_hmc: int, hmc: HMCConfig, infer_noise: bool,
+                          enabled=True):
+    """n_hmc sweeps of (param-HMC [+ noise-HMC]) with early exit after
+    `n_exit` consecutive param-HMC rejections
+    (inference_smc_anneal_data.jl:33-76). Returns updated state + stats.
+
+    `enabled` (traced bool) gates the whole sweep — used to restrict HMC to
+    particles whose structure move was accepted (smc_anneal_data.jl:99-105)
+    while staying vmappable.
+    """
+    def body(carry, k):
+        params_z, noise_z, lml, n_reject, n_accept, n_trial, alive = carry
+        k1, k2 = jax.random.split(k)
+        p_new, lml_p, acc_p = hmc_params_step(
+            k1, node_type, params_z, noise_z, lml, data, cfg, tables,
+            hmc.eps_param, hmc.L_param)
+        params_z = jnp.where(alive, p_new, params_z)
+        lml = jnp.where(alive, lml_p, lml)
+        if infer_noise:
+            nz_new, lml_n, _ = hmc_noise_step(
+                k2, node_type, params_z, noise_z, lml, data, cfg, tables,
+                hmc.eps_noise, hmc.L_noise)
+            noise_z = jnp.where(alive, nz_new, noise_z)
+            lml = jnp.where(alive, lml_n, lml)
+        acc_eff = alive & acc_p
+        n_trial = n_trial + jnp.where(alive, 1, 0)
+        n_accept = n_accept + jnp.where(acc_eff, 1, 0)
+        n_reject = jnp.where(acc_eff, 0, n_reject + jnp.where(alive, 1, 0))
+        alive = alive & (n_reject < hmc.n_exit)
+        return (params_z, noise_z, lml, n_reject, n_accept, n_trial,
+                alive), None
+
+    init = (params_z, noise_z, lml_cached,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(enabled))
+    keys = jax.random.split(key, max(n_hmc, 1))
+    if n_hmc == 0:
+        return params_z, noise_z, lml_cached, jnp.asarray(0, jnp.int32)
+    (params_z, noise_z, lml, _, n_accept, _, _), _ = jax.lax.scan(
+        body, init, keys)
+    return params_z, noise_z, lml, n_accept

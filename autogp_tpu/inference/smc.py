@@ -1,0 +1,370 @@
+"""Sequential Monte Carlo with data annealing over a padded particle batch.
+
+The reference (src/inference_smc_anneal_data.jl) threads Julia tasks over
+particles; here the whole SMC round — incremental-data reweight, adaptive
+multinomial resampling, involutive-MCMC + HMC rejuvenation — is a single
+jitted program vmapped across the particle axis. Growing data prefixes are
+handled with a padded time grid + mask (bucketed to powers of two), so one
+compilation serves many schedule steps.
+
+Particle state is a flat pytree of stacked tensor traces:
+  node_type[P,M], params[P,M,3], noise_z[P], log_weights[P], lml[P].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autogp_tpu import config as C
+from autogp_tpu import model as M
+from autogp_tpu import tree as T
+from autogp_tpu.inference import hmc as hmc_mod
+from autogp_tpu.inference import moves
+
+
+class Particles(NamedTuple):
+    """Gen.ParticleFilterState analog (api.jl:83-90)."""
+    node_type: jnp.ndarray    # [P, M] int32
+    params: jnp.ndarray       # [P, M, 3]
+    noise_z: jnp.ndarray      # [P]
+    log_weights: jnp.ndarray  # [P]
+    lml: jnp.ndarray          # [P] cached LML for the current data mask
+    log_ml_est: jnp.ndarray   # [] accumulated at resampling
+    parents: jnp.ndarray      # [P] parent indices from the last resample
+
+    @property
+    def n_particles(self):
+        return self.node_type.shape[0]
+
+
+class Dataset(NamedTuple):
+    ts: jnp.ndarray     # [N] padded time grid
+    xs: jnp.ndarray     # [N] padded observations (0 at padding)
+    mask: jnp.ndarray   # [N] {0,1}
+
+
+def bucket_size(n: int, minimum: int = 32) -> int:
+    """Pad target: next power of two >= n (bounds recompilation count)."""
+    if n <= minimum:
+        return minimum
+    return 1 << math.ceil(math.log2(n))
+
+
+def make_dataset(ts, xs, n: Optional[int] = None, pad_to: Optional[int] = None,
+                 dtype=None) -> Dataset:
+    ts = np.asarray(ts, dtype=np.float64)
+    xs = np.asarray(xs, dtype=np.float64)
+    n = len(ts) if n is None else n
+    size = pad_to if pad_to is not None else bucket_size(max(n, 1))
+    dt = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    tp = np.zeros(size)
+    xp = np.zeros(size)
+    mk = np.zeros(size)
+    tp[:n] = ts[:n]
+    xp[:n] = xs[:n]
+    mk[:n] = 1.0
+    return Dataset(jnp.asarray(tp, dt), jnp.asarray(xp, dt),
+                   jnp.asarray(mk, dt))
+
+
+# ---------------------------------------------------------------------------
+# Initialization (Gen.initialize_particle_filter, api.jl:108)
+# ---------------------------------------------------------------------------
+
+def initialize(key, n_particles: int, data: Dataset, cfg: C.GPConfig,
+               tables: M.PriorTables, dtype=None) -> Particles:
+    dt = dtype or data.ts.dtype
+    noise_c = (None if cfg.noise is None
+               else M.untransform_param("noise", cfg.noise, cfg))
+    keys = jax.random.split(key, n_particles)
+
+    def gen_one(k):
+        return M.generate(k, data.ts, data.xs, data.mask, cfg, tables,
+                          noise_z_constraint=noise_c, dtype=dt)
+
+    node_type, params, noise_z, w = jax.vmap(gen_one)(keys)
+    return Particles(
+        node_type=node_type, params=params, noise_z=noise_z,
+        log_weights=w.astype(dt), lml=_lml_all(node_type, params, noise_z,
+                                               data, cfg, tables),
+        log_ml_est=jnp.asarray(0.0, dt),
+        parents=jnp.arange(n_particles, dtype=jnp.int32))
+
+
+def _lml_all(node_type, params, noise_z, data: Dataset, cfg, tables):
+    return jax.vmap(
+        lambda nt, pz, nz: M.lml(nt, pz, nz, data.ts, data.xs, data.mask,
+                                 cfg, tables))(node_type, params, noise_z)
+
+
+# ---------------------------------------------------------------------------
+# Weights / ESS (Gen.normalize_weights / effective_sample_size)
+# ---------------------------------------------------------------------------
+
+def log_normalized_weights(log_weights):
+    return log_weights - jax.scipy.special.logsumexp(log_weights)
+
+def normalized_weights(log_weights):
+    return jnp.exp(log_normalized_weights(log_weights))
+
+def effective_sample_size(log_weights):
+    return 1.0 / jnp.sum(jnp.exp(2.0 * log_normalized_weights(log_weights)))
+
+
+# ---------------------------------------------------------------------------
+# SMC step: reweight on extended data (smc_step!, :127-141)
+# ---------------------------------------------------------------------------
+
+def reweight(particles: Particles, data: Dataset, cfg, tables) -> Particles:
+    """Gen.update with incremental data: weight += LML_new - LML_cached."""
+    lml_new = _lml_all(particles.node_type, particles.params,
+                       particles.noise_z, data, cfg, tables)
+    return particles._replace(
+        log_weights=particles.log_weights + lml_new - particles.lml,
+        lml=lml_new)
+
+
+# ---------------------------------------------------------------------------
+# Resampling (Gen.maybe_resample!)
+# ---------------------------------------------------------------------------
+
+def maybe_resample(key, particles: Particles, ess_threshold) -> tuple:
+    """Multinomial resampling when ESS < threshold; folds the current
+    weight normalizer into log_ml_est and zeroes the weights."""
+    P = particles.n_particles
+    lw = particles.log_weights
+    lnw = log_normalized_weights(lw)
+    ess = 1.0 / jnp.sum(jnp.exp(2.0 * lnw))
+    do = ess < ess_threshold
+
+    parents = jax.random.categorical(key, lnw, shape=(P,)).astype(jnp.int32)
+    keep = jnp.arange(P, dtype=jnp.int32)
+    sel = jnp.where(do, parents, keep)
+
+    resampled = Particles(
+        node_type=particles.node_type[sel],
+        params=particles.params[sel],
+        noise_z=particles.noise_z[sel],
+        log_weights=jnp.where(do, jnp.zeros_like(lw), lw),
+        lml=particles.lml[sel],
+        log_ml_est=particles.log_ml_est + jnp.where(
+            do,
+            jax.scipy.special.logsumexp(lw) - jnp.log(float(P)), 0.0),
+        parents=sel)
+    return resampled, do
+
+
+# ---------------------------------------------------------------------------
+# Rejuvenation (rejuvenate_particle_structure, :78-119)
+# ---------------------------------------------------------------------------
+
+def rejuvenate_structure(key, particles: Particles, data: Dataset,
+                         cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
+                         biased: bool, hmc_cfg: hmc_mod.HMCConfig,
+                         infer_noise: bool) -> tuple:
+    """n_mcmc involutive-MH steps; each particle that accepts a structure
+    move gets an HMC parameter sweep. Whole batch in one scan."""
+    d = (data.ts, data.xs, data.mask)
+
+    def mh_all(keys, nt, pz, nz, lml):
+        return jax.vmap(
+            lambda k, a, b, c, l: moves.subtree_replace_step(
+                k, a, b, c, l, d, cfg, tables, biased=biased)
+        )(keys, nt, pz, nz, lml)
+
+    def hmc_all(keys, nt, pz, nz, lml, enabled):
+        return jax.vmap(
+            lambda k, a, b, c, l, e: hmc_mod.rejuvenate_parameters(
+                k, a, b, c, l, d, cfg, tables, n_hmc, hmc_cfg, infer_noise,
+                enabled=e)
+        )(keys, nt, pz, nz, lml, enabled)
+
+    P = particles.n_particles
+
+    def body(carry, k):
+        nt, pz, nz, lml, n_acc = carry
+        k_mh, k_hmc = jax.random.split(k)
+        res = mh_all(jax.random.split(k_mh, P), nt, pz, nz, lml)
+        nt, pz, lml = res.node_type, res.params, res.lml
+
+        if n_hmc > 0:
+            def run_hmc(args):
+                nt, pz, nz, lml = args
+                p2, n2, l2, _ = hmc_all(jax.random.split(k_hmc, P), nt, pz,
+                                        nz, lml, res.accepted)
+                return p2, n2, l2
+
+            def skip_hmc(args):
+                _, pz, nz, lml = args
+                return pz, nz, lml
+
+            pz, nz, lml = jax.lax.cond(jnp.any(res.accepted), run_hmc,
+                                       skip_hmc, (nt, pz, nz, lml))
+        n_acc = n_acc + res.accepted.astype(jnp.int32)
+        return (nt, pz, nz, lml, n_acc), None
+
+    init = (particles.node_type, particles.params, particles.noise_z,
+            particles.lml, jnp.zeros((P,), jnp.int32))
+    keys = jax.random.split(key, max(n_mcmc, 1))
+    if n_mcmc == 0:
+        return particles, jnp.zeros((P,), jnp.int32)
+    (nt, pz, nz, lml, n_acc), _ = jax.lax.scan(body, init, keys)
+    return particles._replace(node_type=nt, params=pz, noise_z=nz,
+                              lml=lml), n_acc
+
+
+# ---------------------------------------------------------------------------
+# One full SMC round (jitted once per (bucket, n_mcmc, n_hmc, flags))
+# ---------------------------------------------------------------------------
+
+def smc_round(key, particles: Particles, data: Dataset, cfg: C.GPConfig,
+              tables, n_mcmc: int, n_hmc: int, biased: bool,
+              hmc_cfg: hmc_mod.HMCConfig, infer_noise: bool,
+              allow_resample: bool, ess_threshold: float,
+              adaptive_rejuvenation: bool):
+    """reweight -> maybe_resample -> rejuvenate (run_smc_anneal_data body,
+    inference_smc_anneal_data.jl:206-253)."""
+    k_res, k_rej = jax.random.split(key)
+    particles = reweight(particles, data, cfg, tables)
+    resampled = jnp.asarray(False)
+    if allow_resample:
+        particles, resampled = maybe_resample(k_res, particles,
+                                              ess_threshold)
+    if adaptive_rejuvenation:
+        # Rejuvenate only when resampled: zero out the mcmc count by
+        # gating the updates.
+        def rej(p):
+            return rejuvenate_structure(k_rej, p, data, cfg, tables,
+                                        n_mcmc, n_hmc, biased, hmc_cfg,
+                                        infer_noise)
+
+        def norej(p):
+            return p, jnp.zeros((p.n_particles,), jnp.int32)
+
+        particles, n_acc = jax.lax.cond(resampled, rej, norej, particles)
+        rejuvenated = resampled
+    else:
+        particles, n_acc = rejuvenate_structure(
+            k_rej, particles, data, cfg, tables, n_mcmc, n_hmc, biased,
+            hmc_cfg, infer_noise)
+        rejuvenated = jnp.asarray(True)
+    return particles, {"resampled": resampled, "rejuvenated": rejuvenated,
+                       "mh_accepted": n_acc}
+
+
+_round_cache = {}
+
+
+def smc_round_jit(cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
+                  biased: bool, hmc_cfg: hmc_mod.HMCConfig,
+                  infer_noise: bool, allow_resample: bool,
+                  ess_threshold: float, adaptive_rejuvenation: bool):
+    sig = (id(cfg), n_mcmc, n_hmc, biased, hmc_cfg, infer_noise,
+           allow_resample, ess_threshold, adaptive_rejuvenation)
+    if sig not in _round_cache:
+        def f(key, particles, data):
+            return smc_round(key, particles, data, cfg, tables, n_mcmc,
+                             n_hmc, biased, hmc_cfg, infer_noise,
+                             allow_resample, ess_threshold,
+                             adaptive_rejuvenation)
+        _round_cache[sig] = jax.jit(f)
+    return _round_cache[sig]
+
+
+# ---------------------------------------------------------------------------
+# Driver (run_smc_anneal_data, :143-273)
+# ---------------------------------------------------------------------------
+
+def run_smc_anneal_data(
+        key,
+        ts: np.ndarray,
+        xs: np.ndarray,
+        cfg: C.GPConfig,
+        tables,
+        n_particles: int,
+        schedule: Sequence[int],
+        n_mcmc,
+        n_hmc,
+        biased: bool = False,
+        hmc_cfg: hmc_mod.HMCConfig = hmc_mod.HMCConfig(),
+        permutation: Optional[np.ndarray] = None,
+        adaptive_resampling: bool = True,
+        adaptive_rejuvenation: bool = False,
+        verbose: bool = False,
+        callback_fn: Optional[Callable] = None,
+        dtype=None) -> Particles:
+    """Anneal over data prefixes ts[perm][:step] for step in schedule."""
+    import time as _time
+    n = len(ts)
+    ts = np.asarray(ts, np.float64)
+    xs = np.asarray(xs, np.float64)
+    if permutation is None:
+        permutation = np.arange(n)
+    assert sorted(permutation.tolist()) == list(range(n))
+    ts = ts[permutation]
+    xs = xs[permutation]
+
+    schedule = list(schedule)
+    assert 1 <= schedule[0]
+    assert schedule[-1] == n
+    assert all(b > a for a, b in zip(schedule, schedule[1:]))
+
+    n_mcmc = [n_mcmc] * len(schedule) if np.isscalar(n_mcmc) else list(n_mcmc)
+    n_hmc = [n_hmc] * len(schedule) if np.isscalar(n_hmc) else list(n_hmc)
+    assert len(n_mcmc) == len(schedule)
+    assert len(n_hmc) == len(schedule)
+
+    infer_noise = cfg.noise is None
+    elapsed = 0.0
+
+    # Initialize from the prior on empty data (:180-190).
+    t0 = _time.time()
+    key, k_init = jax.random.split(key)
+    data0 = make_dataset(ts, xs, n=0, pad_to=bucket_size(n), dtype=dtype)
+    particles = initialize(k_init, n_particles, data0, cfg, tables,
+                           dtype=dtype)
+    jax.block_until_ready(particles)
+    elapsed += _time.time() - t0
+
+    if callback_fn is not None:
+        callback_fn(particles=particles, ts=ts, xs=xs,
+                    permutation=permutation, schedule=schedule, step=0,
+                    elapsed=elapsed, rejuvenated=False, resampled=False,
+                    verbose=verbose)
+
+    bucket = bucket_size(n)
+    for i, step in enumerate(schedule):
+        if verbose:
+            print(f"Running SMC round {step}/{schedule[-1]}")
+        t0 = _time.time()
+        data = make_dataset(ts, xs, n=step, pad_to=bucket, dtype=dtype)
+        allow_resample = step < schedule[-1]
+        ess_threshold = (n_particles / 2 if adaptive_resampling
+                         else float(n_particles))
+        fn = smc_round_jit(cfg, tables, int(n_mcmc[i]), int(n_hmc[i]),
+                           biased, hmc_cfg, infer_noise, allow_resample,
+                           ess_threshold, adaptive_rejuvenation)
+        key, k_round = jax.random.split(key)
+        particles, stats = fn(k_round, particles, data)
+        jax.block_until_ready(particles)
+        elapsed += _time.time() - t0
+
+        if verbose:
+            w = np.asarray(normalized_weights(particles.log_weights))
+            ess = float(effective_sample_size(particles.log_weights))
+            print("Particle Weights:", np.array2string(w, precision=3))
+            print(f"Particle ESS: {ess / n_particles}")
+            print(f"resampled {bool(stats['resampled'])}")
+        if callback_fn is not None:
+            callback_fn(particles=particles, ts=ts, xs=xs,
+                        permutation=permutation, schedule=schedule,
+                        step=step, elapsed=elapsed,
+                        rejuvenated=bool(stats["rejuvenated"]),
+                        resampled=bool(stats["resampled"]),
+                        verbose=verbose)
+    return particles

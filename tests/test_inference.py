@@ -1,0 +1,237 @@
+"""Inference-layer tests.
+
+Key oracles:
+  - pick_random_node: empirical pick frequencies match the walk densities
+    (uniform over nodes when unbiased, inference_utils.jl:17-24).
+  - MH subtree-replace with NO data leaves the prior invariant (the
+    acceptance ratio must then reduce to the proposal symmetry).
+  - HMC with NO data has the standard-normal prior as stationary dist.
+  - SMC reweight equals the directly computed LML difference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autogp_tpu import config as C
+from autogp_tpu import model, tree
+from autogp_tpu import kernels as K
+from autogp_tpu.config import GPConfig
+from autogp_tpu.inference import hmc as hmc_mod
+from autogp_tpu.inference import moves, smc
+
+CFG = GPConfig(max_depth=3)
+TABLES = model.prior_tables(CFG)
+
+
+def empty_data(size=32):
+    z = jnp.zeros((size,), jnp.float64)
+    return (z, z, z)
+
+
+def test_pick_node_uniform_frequencies():
+    node = (K.Linear(1.0) + K.Periodic(1.0, 1.0)) * K.Linear(2.0)
+    nt, _ = tree.node_to_tensor(node, CFG)
+    nt = jnp.asarray(nt)
+    sizes = tree.subtree_sizes(nt).astype(jnp.float64)
+
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    idxs, paths = jax.jit(jax.vmap(
+        lambda k: moves.sample_pick_node(k, nt, sizes, False,
+                                         CFG.depth_cap)))(keys)
+    idxs = np.asarray(idxs)
+    # Unbiased: every node uniformly (p = 1/size = 1/5).
+    active = [0, 1, 2, 3, 4]  # slots of the 5 active nodes
+    freqs = {s: (idxs == s).mean() for s in set(idxs.tolist())}
+    assert set(freqs) == set(active)
+    for s in active:
+        assert abs(freqs[s] - 0.2) < 0.03, (s, freqs)
+
+    # assess = log(1/5) for every sampled path on this tree.
+    logqs, idx2 = jax.jit(jax.vmap(
+        lambda p: moves.assess_pick_node(p, nt, sizes, False,
+                                         CFG.depth_cap)))(paths)
+    np.testing.assert_allclose(np.asarray(logqs), np.log(0.2), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(idx2), idxs)
+
+
+def test_pick_node_biased_frequencies():
+    node = (K.Linear(1.0) + K.Periodic(1.0, 1.0)) * K.Linear(2.0)
+    nt, _ = tree.node_to_tensor(node, CFG)
+    nt = jnp.asarray(nt)
+    sizes = tree.subtree_sizes(nt).astype(jnp.float64)
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    idxs, paths = jax.jit(jax.vmap(
+        lambda k: moves.sample_pick_node(k, nt, sizes, True,
+                                         CFG.depth_cap)))(keys)
+    idxs = np.asarray(idxs)
+    # biased: p(root)=.5; p(left subtree root +)= .5*.5*.5; leaves deeper.
+    want = {0: 0.5, 1: 0.125, 2: 0.25, 3: 0.0625, 4: 0.0625}
+    for s, p in want.items():
+        assert abs((idxs == s).mean() - p) < 0.03, (s, p)
+    logqs, _ = jax.jit(jax.vmap(
+        lambda p: moves.assess_pick_node(p, nt, sizes, True,
+                                         CFG.depth_cap)))(paths)
+    # Empirical consistency: mean exp(logq) over samples of each idx == p.
+    for s, p in want.items():
+        got = np.exp(np.asarray(logqs)[idxs == s])
+        np.testing.assert_allclose(got, p, rtol=1e-9)
+
+
+def _tree_stats(nts):
+    """Summary stats of a batch of trees for distribution comparison."""
+    nts = np.asarray(nts)
+    sizes = np.asarray(jax.vmap(tree.subtree_sizes)(jnp.asarray(nts)))[:, 0]
+    root = nts[:, 0]
+    return sizes, root
+
+
+def test_mh_no_data_preserves_prior():
+    """With empty data the posterior IS the prior: many MH steps from
+    prior samples must keep tree-size and root-type distributions."""
+    P = 256
+    keys = jax.random.split(jax.random.PRNGKey(2), P)
+    nt0, pz0 = jax.vmap(lambda k: model.sample_tree(k, TABLES,
+                                                    dtype=jnp.float64))(keys)
+    noise = jnp.zeros((P,), jnp.float64)
+    lml0 = jnp.zeros((P,), jnp.float64)
+    data = empty_data()
+
+    def chain(key, nt, pz, nz, lml):
+        def body(carry, k):
+            nt, pz, lml = carry
+            r = moves.subtree_replace_step(k, nt, pz, nz, lml, data, CFG,
+                                           TABLES)
+            return (r.node_type, r.params, r.lml), r.accepted
+        (nt, pz, lml), acc = jax.lax.scan(body, (nt, pz, lml),
+                                          jax.random.split(key, 30))
+        return nt, pz, acc.mean()
+
+    keys2 = jax.random.split(jax.random.PRNGKey(3), P)
+    nt1, pz1, acc = jax.jit(jax.vmap(chain))(keys2, nt0, pz0, noise, lml0)
+
+    s0, r0 = _tree_stats(nt0)
+    s1, r1 = _tree_stats(nt1)
+    # Acceptance should be high with no data (proposal ~ prior).
+    assert float(jnp.mean(acc)) > 0.5
+    # Size distribution preserved (prior mean size ~3.4 for this config).
+    assert abs(s0.mean() - s1.mean()) < 0.45, (s0.mean(), s1.mean())
+    # Root-type frequencies preserved within MC error.
+    f0 = np.bincount(r0, minlength=9)[1:] / P
+    f1 = np.bincount(r1, minlength=9)[1:] / P
+    assert np.abs(f0 - f1).max() < 0.12, (f0, f1)
+
+
+def test_hmc_no_data_stationary_normal():
+    """With empty data, HMC on params/noise targets N(0,1) exactly."""
+    P = 128
+    node = K.Linear(0.5) * K.Periodic(1.0, 1.0)
+    nt, pz = tree.node_to_tensor(node, CFG)
+    nt = jnp.asarray(nt)
+    nts = jnp.tile(nt[None], (P, 1))
+    pzs = jnp.tile(jnp.asarray(pz)[None], (P, 1, 1))
+    nzs = jnp.zeros((P,), jnp.float64)
+    data = empty_data()
+    # Trajectory length eps*L ~ pi/2: for a unit Gaussian target the
+    # position after one trajectory is ~ cos(tau) q + sin(tau) p ~ N(0,1),
+    # i.e. nearly independent draws (tau ~ pi flips the sign instead).
+    hmc_cfg = hmc_mod.HMCConfig(n_exit=10 ** 9, eps_param=0.157, L_param=10,
+                                eps_noise=0.157, L_noise=10)
+
+    def chain(key, nt1, pz1, nz1):
+        lml = jnp.asarray(0.0, jnp.float64)
+        def body(carry, k):
+            pz1, nz1, lml = carry
+            pz2, nz2, lml2, _ = hmc_mod.rejuvenate_parameters(
+                k, nt1, pz1, nz1, lml, data, CFG, TABLES, 5, hmc_cfg, True)
+            return (pz2, nz2, lml2), None
+        (pz1, nz1, _), _ = jax.lax.scan(body, (pz1, nz1, lml),
+                                        jax.random.split(key, 8))
+        return pz1, nz1
+
+    keys = jax.random.split(jax.random.PRNGKey(4), P)
+    pz_f, nz_f = jax.jit(jax.vmap(chain))(keys, nts, pzs, nzs)
+    pmask = np.asarray(tree.param_mask(nt))
+    vals = np.asarray(pz_f)[:, pmask > 0]            # [P, n_active]
+    flat = np.concatenate([vals.ravel(), np.asarray(nz_f)])
+    # 40 HMC trajectories per chain from a fixed point: moments ~ N(0,1).
+    assert abs(flat.mean()) < 0.1, flat.mean()
+    assert abs(flat.std() - 1.0) < 0.1, flat.std()
+
+
+def test_reweight_matches_direct_lml():
+    rng = np.random.default_rng(0)
+    n = 24
+    ts = np.linspace(0, 1, n)
+    xs = np.sin(6 * ts) + 0.1 * rng.standard_normal(n)
+    data0 = smc.make_dataset(ts, xs, n=0, pad_to=32)
+    data1 = smc.make_dataset(ts, xs, n=10, pad_to=32)
+    data2 = smc.make_dataset(ts, xs, n=24, pad_to=32)
+
+    parts = smc.initialize(jax.random.PRNGKey(0), 16, data0, CFG, TABLES)
+    np.testing.assert_allclose(np.asarray(parts.log_weights), 0.0,
+                               atol=1e-12)
+    p1 = smc.reweight(parts, data1, CFG, TABLES)
+    direct1 = smc._lml_all(parts.node_type, parts.params, parts.noise_z,
+                           data1, CFG, TABLES)
+    np.testing.assert_allclose(np.asarray(p1.log_weights),
+                               np.asarray(direct1), rtol=1e-9)
+    p2 = smc.reweight(p1, data2, CFG, TABLES)
+    direct2 = smc._lml_all(parts.node_type, parts.params, parts.noise_z,
+                           data2, CFG, TABLES)
+    np.testing.assert_allclose(np.asarray(p2.log_weights),
+                               np.asarray(direct2), rtol=1e-9)
+
+
+def test_resampling_semantics():
+    key = jax.random.PRNGKey(5)
+    data0 = smc.make_dataset(np.zeros(4), np.zeros(4), n=0, pad_to=32)
+    parts = smc.initialize(key, 8, data0, CFG, TABLES)
+    # Skewed weights -> low ESS -> resample triggers.
+    lw = jnp.asarray([10., 0., 0., 0., 0., 0., 0., 0.], jnp.float64)
+    parts = parts._replace(log_weights=lw)
+    ess = float(smc.effective_sample_size(lw))
+    assert ess < 1.1
+    new, did = smc.maybe_resample(key, parts, ess_threshold=4.0)
+    assert bool(did)
+    np.testing.assert_allclose(np.asarray(new.log_weights), 0.0)
+    lse = float(jax.scipy.special.logsumexp(lw))
+    np.testing.assert_allclose(float(new.log_ml_est), lse - np.log(8),
+                               rtol=1e-12)
+    # Dominant particle should be cloned into nearly all slots.
+    assert (np.asarray(new.parents) == 0).mean() > 0.8
+    # High ESS -> no resample.
+    parts2 = parts._replace(log_weights=jnp.zeros(8, jnp.float64))
+    new2, did2 = smc.maybe_resample(key, parts2, ess_threshold=4.0)
+    assert not bool(did2)
+    np.testing.assert_array_equal(np.asarray(new2.parents),
+                                  np.arange(8))
+
+
+def test_smc_end_to_end_smoke():
+    """Small full fit: runs, finite estimates, structures adapt to data."""
+    rng = np.random.default_rng(1)
+    n = 32
+    ts = np.linspace(0, 1, n)
+    xs = np.sin(2 * np.pi * 4 * ts) + 0.05 * rng.standard_normal(n)
+
+    parts = smc.run_smc_anneal_data(
+        jax.random.PRNGKey(0), ts, xs, CFG, TABLES,
+        n_particles=8, schedule=[8, 16, 32], n_mcmc=6, n_hmc=4,
+        permutation=rng.permutation(n))
+    lml = np.asarray(parts.lml)
+    assert np.isfinite(lml).all()
+    assert np.isfinite(np.asarray(parts.log_weights)).all()
+    # The fit should beat the typical prior-sample likelihood by a lot.
+    data = smc.make_dataset(ts, xs, n=n, pad_to=32)
+    prior_parts = smc.initialize(jax.random.PRNGKey(9), 8, data, CFG,
+                                 TABLES)
+    assert lml.max() > np.asarray(prior_parts.lml).max()
+    # Decoded kernels are valid symbolic trees.
+    for i in range(8):
+        node = tree.tensor_to_node(np.asarray(parts.node_type[i]),
+                                   np.asarray(parts.params[i]), CFG)
+        assert node.size >= 1
