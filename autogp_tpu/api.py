@@ -1,0 +1,683 @@
+"""User-facing API (reference: src/api.jl).
+
+`GPModel` holds a batch of tensor-trace particles plus the data transforms;
+`fit_smc` / `fit_mcmc` / `fit_greedy` are the three inference engines;
+`predict*` return posterior predictive distributions / DataFrames in the
+original data space; `decompose` / `extract_kernel` / `split_kernel_sop`
+provide the interpretability tooling; `to_dict` / `from_dict` serialize.
+
+Julia `!`-functions map to plain names (`fit_smc!` -> `fit_smc`).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Callable, List, Optional, Sequence, Tuple, Type, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from autogp_tpu import config as C
+from autogp_tpu import gp_math
+from autogp_tpu import kernels as GP
+from autogp_tpu import model as M
+from autogp_tpu import tree as T
+from autogp_tpu import transforms as TR
+from autogp_tpu.config import GPConfig
+from autogp_tpu.distributions import MixtureMvNormal, MvNormal
+from autogp_tpu.inference import hmc as hmc_mod
+from autogp_tpu.inference import smc
+from autogp_tpu.inference.hmc import HMCConfig
+
+# ---------------------------------------------------------------------------
+# Global seeding (api.jl:34-37)
+# ---------------------------------------------------------------------------
+
+_GLOBAL = {"key": jax.random.PRNGKey(0), "rng": np.random.default_rng(0)}
+
+
+def seed(s: int):
+    """Set the global random seed (api.jl:34-37)."""
+    _GLOBAL["key"] = jax.random.PRNGKey(s)
+    _GLOBAL["rng"] = np.random.default_rng(s)
+
+
+def _next_key():
+    _GLOBAL["key"], k = jax.random.split(_GLOBAL["key"])
+    return k
+
+
+# ---------------------------------------------------------------------------
+# Time-index ingestion (api.jl:47-51)
+# ---------------------------------------------------------------------------
+
+def to_numeric(ds) -> np.ndarray:
+    """Convert time indexes to float seconds (dates -> unix time)."""
+    a = np.asarray(ds)
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.astype("datetime64[ns]").astype(np.int64) / 1e9
+    if a.dtype == object and len(a) and isinstance(
+            a.flat[0], (_dt.date, _dt.datetime)):
+        out = []
+        for v in a:
+            if isinstance(v, _dt.datetime):
+                out.append(v.replace(tzinfo=_dt.timezone.utc).timestamp())
+            else:
+                out.append(_dt.datetime(v.year, v.month, v.day,
+                                        tzinfo=_dt.timezone.utc).timestamp())
+        return np.asarray(out, dtype=np.float64)
+    return a.astype(np.float64)
+
+
+def _default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# GPModel (api.jl:83-112)
+# ---------------------------------------------------------------------------
+
+class GPModel:
+    """Weighted particle collection over GP kernel structures + parameters.
+
+    Fields mirror the reference: particles (pf_state), config, raw ds/y,
+    and the two LinearTransforms fixed at construction.
+    """
+
+    def __init__(self, ds, y, n_particles: int = 8,
+                 config: GPConfig = None, _defer_init: bool = False):
+        self.config = config or GPConfig()
+        self.tables = M.prior_tables(self.config)
+        self.ds = np.asarray(ds)
+        self.y = np.asarray(y, dtype=np.float64)
+        self.dtype = _default_dtype()
+        ds_n = to_numeric(self.ds)
+        self.ds_transform = TR.LinearTransform.from_minmax(ds_n, 0, 1)
+        self.y_transform = TR.LinearTransform.from_mean_width(self.y, 1)
+        self._n_particles = n_particles
+        if not _defer_init:
+            data = self._dataset()
+            self.particles = smc.initialize(
+                _next_key(), n_particles, data, self.config, self.tables,
+                dtype=self.dtype)
+
+    # -- internal ----------------------------------------------------------
+
+    @classmethod
+    def _from_state(cls, particles, config, ds, y, ds_transform,
+                    y_transform) -> "GPModel":
+        m = cls.__new__(cls)
+        m.config = config
+        m.tables = M.prior_tables(config)
+        m.ds = np.asarray(ds)
+        m.y = np.asarray(y, dtype=np.float64)
+        m.dtype = particles.params.dtype
+        m.ds_transform = ds_transform
+        m.y_transform = y_transform
+        m.particles = particles
+        m._n_particles = particles.n_particles
+        return m
+
+    def _ds_numeric(self, ds=None) -> np.ndarray:
+        return self.ds_transform.apply(to_numeric(self.ds if ds is None
+                                                  else np.asarray(ds)))
+
+    def _y_numeric(self) -> np.ndarray:
+        return self.y_transform.apply(self.y)
+
+    def _dataset(self, pad_to=None) -> smc.Dataset:
+        return smc.make_dataset(self._ds_numeric(), self._y_numeric(),
+                                pad_to=pad_to, dtype=self.dtype)
+
+    def __repr__(self):
+        return (f"GPModel(n_particles={self.num_particles}, "
+                f"n={len(self.ds)})")
+
+    # -- accessors (api.jl:114-171) ----------------------------------------
+
+    @property
+    def num_particles(self) -> int:
+        return self.particles.n_particles
+
+    def particle_weights(self) -> np.ndarray:
+        return np.asarray(smc.normalized_weights(
+            self.particles.log_weights))
+
+    def effective_sample_size(self) -> float:
+        return float(smc.effective_sample_size(self.particles.log_weights))
+
+    def log_marginal_likelihood_estimate(self) -> float:
+        return float(self.particles.log_ml_est)
+
+    def covariance_kernels(self, reparameterize: bool = True
+                           ) -> List[GP.Node]:
+        ks = [T.tensor_to_node(np.asarray(self.particles.node_type[i]),
+                               np.asarray(self.particles.params[i]),
+                               self.config)
+              for i in range(self.num_particles)]
+        if reparameterize:
+            y_inv = self.y_transform.invert()
+            ks = [GP.rescale(GP.reparameterize(k, self.ds_transform), y_inv)
+                  for k in ks]
+        return ks
+
+    def observation_noise_variances(self, reparameterize: bool = True
+                                    ) -> np.ndarray:
+        nz = np.asarray(self.particles.noise_z, dtype=np.float64)
+        noises = np.array([float(M.transform_noise(z, self.config))
+                           for z in nz])
+        if reparameterize:
+            noises = self.y_transform.unapply_var(noises)
+        return noises
+
+
+# Module-level accessor functions mirroring api.jl names.
+
+def particle_weights(model: GPModel):
+    return model.particle_weights()
+
+def effective_sample_size(model: GPModel):
+    return model.effective_sample_size()
+
+def log_marginal_likelihood_estimate(model: GPModel):
+    return model.log_marginal_likelihood_estimate()
+
+def num_particles(model: GPModel):
+    return model.num_particles
+
+def covariance_kernels(model: GPModel, reparameterize: bool = True):
+    return model.covariance_kernels(reparameterize=reparameterize)
+
+def observation_noise_variances(model: GPModel,
+                                reparameterize: bool = True):
+    return model.observation_noise_variances(reparameterize=reparameterize)
+
+
+def _hmc_config(hmc_config, default_n_exit) -> HMCConfig:
+    if isinstance(hmc_config, HMCConfig):
+        return hmc_config
+    d = dict(hmc_config or {})
+    return HMCConfig(
+        L_param=d.get("L_param", 10), eps_param=d.get("eps_param", 0.02),
+        L_noise=d.get("L_noise", 10), eps_noise=d.get("eps_noise", 0.02),
+        n_exit=d.get("n_exit", default_n_exit))
+
+
+# ---------------------------------------------------------------------------
+# fit_smc (api.jl:212-249)
+# ---------------------------------------------------------------------------
+
+def fit_smc(model: GPModel, schedule: Sequence[int], n_mcmc, n_hmc,
+            biased: bool = False, shuffle: bool = True,
+            adaptive_resampling: bool = True,
+            adaptive_rejuvenation: bool = False,
+            hmc_config=None, verbose: bool = False, check: bool = False,
+            callback_fn: Optional[Callable] = None):
+    """SMC structure learning with data annealing."""
+    n = len(model.ds)
+    perm = (_GLOBAL["rng"].permutation(n) if shuffle else np.arange(n))
+    cb = None
+    if callback_fn is not None:
+        def cb(particles, ts, xs, permutation, schedule, step, elapsed,
+               rejuvenated, resampled, verbose):
+            callback_fn(particles=particles, ts=ts, xs=xs,
+                        permutation=permutation, schedule=schedule,
+                        step=step, elapsed=elapsed, rejuvenated=rejuvenated,
+                        resampled=resampled, verbose=verbose)
+    model.particles = smc.run_smc_anneal_data(
+        _next_key(), model._ds_numeric(), model._y_numeric(),
+        model.config, model.tables, model.num_particles, list(schedule),
+        n_mcmc, n_hmc, biased=biased,
+        hmc_cfg=_hmc_config(hmc_config, default_n_exit=1),
+        permutation=perm, adaptive_resampling=adaptive_resampling,
+        adaptive_rejuvenation=adaptive_rejuvenation, verbose=verbose,
+        callback_fn=cb, dtype=model.dtype)
+    return model
+
+
+# ---------------------------------------------------------------------------
+# fit_mcmc / mcmc_structure / mcmc_parameters (api.jl:280-420)
+# ---------------------------------------------------------------------------
+
+def mcmc_structure(model: GPModel, n_mcmc: int, n_hmc: int,
+                   biased: bool = False, hmc_config=None,
+                   verbose: bool = False, check: bool = False):
+    """n_mcmc involutive MCMC steps + HMC on accepted moves, all particles."""
+    data = model._dataset()
+    hc = _hmc_config(hmc_config, default_n_exit=2)
+    infer_noise = model.config.noise is None
+    key = _next_key()
+    particles, n_acc = _rejuvenate_jit(
+        model.config, model.tables, n_mcmc, n_hmc, biased, hc, infer_noise
+    )(key, model.particles, data)
+    model.particles = particles
+    return np.asarray(n_acc)
+
+
+_rejuv_cache = {}
+
+def _rejuvenate_jit(cfg, tables, n_mcmc, n_hmc, biased, hc, infer_noise):
+    sig = (id(cfg), n_mcmc, n_hmc, biased, hc, infer_noise)
+    if sig not in _rejuv_cache:
+        def f(key, particles, data):
+            from autogp_tpu.inference.smc import rejuvenate_structure
+            return rejuvenate_structure(key, particles, data, cfg, tables,
+                                        n_mcmc, n_hmc, biased, hc,
+                                        infer_noise)
+        _rejuv_cache[sig] = jax.jit(f)
+    return _rejuv_cache[sig]
+
+
+def fit_mcmc(model: GPModel, n_mcmc: int, n_hmc: int,
+             biased: bool = False, hmc_config=None, verbose: bool = False,
+             check: bool = False, callback_fn: Optional[Callable] = None):
+    """Pure involutive-MCMC engine with per-step callback (api.jl:280-307)."""
+    import time as _time
+    elapsed = 0.0
+    for step in range(1, n_mcmc + 1):
+        t0 = _time.time()
+        n_acc = mcmc_structure(model, 1, n_hmc, biased=biased,
+                               hmc_config=_hmc_config(hmc_config, 2),
+                               verbose=verbose, check=check)
+        elapsed += _time.time() - t0
+        if callback_fn is not None and (n_acc > 0).any():
+            callback_fn(model=model, step=step, elapsed=elapsed)
+    return model
+
+
+def mcmc_parameters(model: GPModel, n_hmc: int, hmc_config=None,
+                    verbose: bool = False, check: bool = False):
+    """n_hmc HMC sweeps on all particles (api.jl:385-393)."""
+    data = model._dataset()
+    hc = _hmc_config(hmc_config, default_n_exit=n_hmc)
+    infer_noise = model.config.noise is None
+    key = _next_key()
+    P = model.num_particles
+
+    def f(key, particles):
+        d = (data.ts, data.xs, data.mask)
+        def one(k, nt, pz, nz, lml):
+            return hmc_mod.rejuvenate_parameters(
+                k, nt, pz, nz, lml, d, model.config, model.tables, n_hmc,
+                hc, infer_noise)
+        pz, nz, lml, n_acc = jax.vmap(one)(
+            jax.random.split(key, P), particles.node_type,
+            particles.params, particles.noise_z, particles.lml)
+        return particles._replace(params=pz, noise_z=nz, lml=lml), n_acc
+
+    model.particles, n_acc = jax.jit(f)(key, model.particles)
+    return np.asarray(n_acc)
+
+
+# ---------------------------------------------------------------------------
+# add_data / remove_data / maybe_resample (api.jl:426-479)
+# ---------------------------------------------------------------------------
+
+def add_data(model: GPModel, ds, y):
+    """Incorporate new observations via one SMC reweight (api.jl:426-443)."""
+    ds = np.asarray(ds)
+    model.ds = np.concatenate([model.ds, ds])
+    model.y = np.concatenate([model.y, np.asarray(y, dtype=np.float64)])
+    _reweight_current(model)
+    return model
+
+
+def remove_data(model: GPModel, ds):
+    """Remove observations at time points ds (api.jl:449-468)."""
+    ds = np.asarray(ds)
+    sel = np.isin(model.ds, ds)
+    if not sel.any():
+        raise ValueError(f"No such time points {ds}")
+    model.ds = model.ds[~sel]
+    model.y = model.y[~sel]
+    _reweight_current(model)
+    return model
+
+
+def _reweight_current(model: GPModel):
+    data = model._dataset()
+    model.particles = jax.jit(
+        lambda p, d: smc.reweight(p, d, model.config, model.tables)
+    )(model.particles, data)
+
+
+def maybe_resample(model: GPModel, ess_threshold: float) -> bool:
+    resampled_particles, did = smc.maybe_resample(
+        _next_key(), model.particles, ess_threshold)
+    model.particles = resampled_particles
+    return bool(did)
+
+
+# ---------------------------------------------------------------------------
+# predict family (api.jl:482-699)
+# ---------------------------------------------------------------------------
+
+def _posterior_all(model: GPModel, ds_pred, noise_pred: Optional[float]):
+    """Per-particle posterior (mu, cov) at ds_pred, in MODEL space."""
+    data = model._dataset()
+    tsp = jnp.asarray(model._ds_numeric(ds_pred), dtype=model.dtype)
+    np_pred = (jnp.asarray(noise_pred, model.dtype)
+               if noise_pred is not None else None)
+
+    def one(nt, pz, nz):
+        pt = M.transform_params(nt, pz, jnp.asarray(model.tables.ttable,
+                                                    model.dtype))
+        noise = M.transform_noise(nz, model.config)
+        return gp_math.posterior_mvn_masked(
+            nt, pt, noise, data.ts, data.xs, data.mask, tsp,
+            model.config.depth_cap,
+            noise_pred=np_pred)
+
+    mus, covs = jax.jit(jax.vmap(one))(
+        model.particles.node_type, model.particles.params,
+        model.particles.noise_z)
+    return np.asarray(mus, np.float64), np.asarray(covs, np.float64)
+
+
+def predict_mvn(model: GPModel, ds, noise_pred: Optional[float] = None
+                ) -> MixtureMvNormal:
+    """Posterior predictive mixture in the original data space."""
+    mus, covs = _posterior_all(model, ds, noise_pred)
+    weights = model.particle_weights()
+    comps = []
+    for i in range(model.num_particles):
+        mu, cov = model.y_transform.unapply_mean_var(mus[i], covs[i])
+        comps.append(MvNormal(mu, cov))
+    return MixtureMvNormal(comps, weights)
+
+
+def predict(model: GPModel, ds, quantiles: Sequence[float] = (),
+            noise_pred: Optional[float] = None) -> pd.DataFrame:
+    """Per-particle predictive means/quantiles (api.jl:633-661)."""
+    quantiles = list(quantiles)
+    if not all(0 <= q <= 1 for q in quantiles):
+        raise ValueError("Quantiles must be in [0,1]")
+    mus, covs = _posterior_all(model, ds, noise_pred)
+    weights = model.particle_weights()
+    frames = []
+    nq = len(ds)
+    for i in range(model.num_particles):
+        mvn = MvNormal(mus[i], covs[i])
+        rec = {
+            "ds": np.asarray(ds),
+            "particle": np.full(nq, i + 1),
+            "weight": np.full(nq, weights[i]),
+            "y_mean": model.y_transform.unapply(mvn.mean),
+        }
+        if quantiles:
+            bounds = mvn.quantile(quantiles)
+            for j, q in enumerate(quantiles):
+                rec[f"y_{q}"] = model.y_transform.unapply(bounds[:, j])
+        frames.append(pd.DataFrame(rec))
+    return pd.concat(frames, ignore_index=True)
+
+
+def predict_quantile(model: GPModel, ds, q: float,
+                     noise_pred: Optional[float] = None, tol: float = 1e-5,
+                     max_iter: int = 10 ** 6):
+    """Marginal mixture-CDF inverse via bisection (api.jl:547-596)."""
+    if not (0 < q < 1):
+        raise ValueError("Quantile must be in (0,1).")
+    mvn = predict_mvn(model, ds, noise_pred=noise_pred)
+    return mvn.quantile(q, tol=tol, max_iter=max_iter)
+
+
+def predict_proba(model: GPModel, ds, y) -> pd.DataFrame:
+    """Predictive log probability of y at ds per particle (api.jl:686-699)."""
+    dist = predict_mvn(model, ds)
+    y = np.asarray(y, dtype=np.float64)
+    n = model.num_particles
+    logps = (np.zeros(n) if len(y) == 0 else
+             np.array([c.logpdf(y) for c in dist.components]))
+    return pd.DataFrame({"particle": np.arange(1, n + 1),
+                         "weight": dist.weights, "logp": logps})
+
+
+# ---------------------------------------------------------------------------
+# decomposition / kernel surgery (api.jl:731-850)
+# ---------------------------------------------------------------------------
+
+def _particles_from_kernels(kernels: List[GP.Node], noise_zs, model: GPModel,
+                            config: GPConfig, log_weights=None
+                            ) -> smc.Particles:
+    """node_to_trace equivalent: build a particle batch from symbolic
+    kernels with given whitened noises (inference_utils.jl:257-284)."""
+    P = len(kernels)
+    Mn = config.max_nodes
+    nts = np.zeros((P, Mn), np.int32)
+    pzs = np.zeros((P, Mn, C.MAX_PARAMS), np.float64)
+    for i, k in enumerate(kernels):
+        nts[i], pzs[i] = T.node_to_tensor(k, config)
+    tables = M.prior_tables(config)
+    data = smc.make_dataset(model._ds_numeric(), model._y_numeric(),
+                            dtype=model.dtype)
+    nt = jnp.asarray(nts)
+    pz = jnp.asarray(pzs, model.dtype)
+    nz = jnp.asarray(np.asarray(noise_zs), model.dtype)
+    lml = smc._lml_all(nt, pz, nz, data, config, tables)
+    lw = (lml.astype(model.dtype) if log_weights is None
+          else jnp.asarray(log_weights, model.dtype))
+    return smc.Particles(
+        node_type=nt, params=pz, noise_z=nz, log_weights=lw, lml=lml,
+        log_ml_est=jnp.asarray(0.0, model.dtype),
+        parents=jnp.arange(P, dtype=jnp.int32))
+
+
+def gp_model_from_kernels(model: GPModel, kernels: List[GP.Node]
+                          ) -> GPModel:
+    """GPModel(model, kernels) rebuild (api.jl:833-850): same data and
+    transforms, particles forced to the given kernels, weights copied."""
+    assert len(kernels) == model.num_particles
+    particles = _particles_from_kernels(
+        kernels, np.asarray(model.particles.noise_z), model, model.config,
+        log_weights=np.asarray(model.particles.log_weights))
+    return GPModel._from_state(particles, model.config, model.ds, model.y,
+                               model.ds_transform, model.y_transform)
+
+
+def decompose(model: GPModel) -> List[GPModel]:
+    """Unroll each particle's kernel into a GPModel of fragments
+    (api.jl:731-771). Fragment models use ~zero observation noise."""
+    kernels = model.covariance_kernels(reparameterize=False)
+    out = []
+    cfg = model.config.replace(noise=1e-10)
+    nz = M.untransform_param("noise", 1e-10, cfg)
+    for i, k in enumerate(kernels):
+        frags = GP.unroll(k)
+        sub = GPModel._from_state(
+            _particles_from_kernels(
+                frags, np.full(len(frags), nz), model, cfg,
+                log_weights=np.zeros(len(frags))),
+            cfg, model.ds, model.y, model.ds_transform, model.y_transform)
+        out.append(sub)
+    return out
+
+
+def extract_kernel(model: GPModel, leaf_type: Type[GP.LeafNode],
+                   retain: bool = True) -> GPModel:
+    """Keep only leaves of `leaf_type` in every particle (api.jl:797-802)."""
+    kernels = model.covariance_kernels(reparameterize=False)
+    new = [GP.extract_kernel(k, leaf_type, retain=retain) for k in kernels]
+    return gp_model_from_kernels(model, new)
+
+
+def split_kernel_sop(model: GPModel, leaf_type: Type[GP.LeafNode]
+                     ) -> Tuple[GPModel, GPModel]:
+    """Sum-of-products split of every particle (api.jl:824-831)."""
+    kernels = model.covariance_kernels(reparameterize=False)
+    splits = [GP.split_kernel_sop(k, leaf_type) for k in kernels]
+    model_a = gp_model_from_kernels(model, [s[0] for s in splits])
+    model_b = gp_model_from_kernels(model, [s[1] for s in splits])
+    return model_a, model_b
+
+
+# ---------------------------------------------------------------------------
+# predict_sum / predict_mvn_sum (api.jl:898-1034)
+# ---------------------------------------------------------------------------
+
+def predict_mvn_sum(model: GPModel, ds, leaf_type: Type[GP.LeafNode],
+                    noise_pred: Optional[float] = None):
+    """Joint posterior over [F_T, F_nT, X] per particle via the GP-sum
+    system (api.jl:978-1034). Returns (MixtureMvNormal over 3n dims,
+    indexes dict with keys F (list of 2 ranges) and Y)."""
+    ts = model._ds_numeric()
+    xs = model._y_numeric()
+    tsp = model._ds_numeric(ds)
+    n, p = len(ts), len(tsp)
+    noises = model.observation_noise_variances(reparameterize=False)
+    kernels = model.covariance_kernels(reparameterize=False)
+    splits = [GP.split_kernel_sop(k, leaf_type) for k in kernels]
+    weights = model.particle_weights()
+
+    comps = []
+    indexes = None
+    for i, nodes in enumerate(splits):
+        nodes = list(nodes)
+        m = len(nodes)
+        Ktt = np.stack([GP.eval_cov(k, ts) for k in nodes])
+        Ktp = np.stack([GP.eval_cov(k, ts, tsp) for k in nodes])
+        Kpp = np.stack([0.5 * (GP.eval_cov(k, tsp) + GP.eval_cov(k, tsp).T)
+                        for k in nodes])
+        mu, cov = gp_math.infer_gp_sum_from_blocks(
+            jnp.asarray(Ktt), jnp.asarray(Ktp), jnp.asarray(Kpp),
+            noises[i], jnp.asarray(xs), jnp.ones(n),
+            noise_pred=noise_pred)
+        mu = np.asarray(mu, np.float64)
+        cov = np.asarray(cov, np.float64)
+        mu, cov = model.y_transform.unapply_mean_var(mu, cov)
+        # Correct the double-counted linear offset (api.jl:1013-1020).
+        fidx = [np.arange(j * p, (j + 1) * p) for j in range(m)]
+        xidx = np.arange(m * p, (m + 1) * p)
+        mu[fidx[0]] += (model.y_transform.intercept
+                        / model.y_transform.slope)
+        comps.append(MvNormal(mu, cov))
+        if indexes is None:
+            indexes = {"F": fidx, "Y": xidx}
+    return MixtureMvNormal(comps, weights), indexes
+
+
+def predict_sum(model: GPModel, ds, leaf_type: Type[GP.LeafNode],
+                quantiles: Sequence[float] = (),
+                noise_pred: Optional[float] = None) -> pd.DataFrame:
+    """predict() split by SOP components (api.jl:898-935): component 0 is
+    the overall prediction, 1 the `leaf_type` part, 2 the remainder."""
+    quantiles = list(quantiles)
+    mixture, indexes = predict_mvn_sum(model, ds, leaf_type,
+                                       noise_pred=noise_pred)
+    weights = mixture.weights
+    frames = []
+    nq = len(ds)
+    for particle in range(model.num_particles):
+        mvn = mixture.components[particle]
+        y_mean = mvn.mean
+        bounds = mvn.quantile(quantiles) if quantiles else None
+        for comp, idx in enumerate([indexes["Y"]] + list(indexes["F"])):
+            rec = {
+                "ds": np.asarray(ds),
+                "y_mean": y_mean[idx],
+                "component": np.full(nq, comp),
+                "particle": np.full(nq, particle + 1),
+                "weight": np.full(nq, weights[particle]),
+            }
+            for j, q in enumerate(quantiles):
+                rec[f"y_{q}"] = bounds[idx, j]
+            frames.append(pd.DataFrame(rec))
+    return pd.concat(frames, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# fit_greedy (api.jl:327-378) — delegates to the greedy engine
+# ---------------------------------------------------------------------------
+
+def fit_greedy(model: GPModel, max_depth: Optional[int] = None,
+               verbose: bool = False, check: bool = False,
+               callback_fn: Optional[Callable] = None):
+    from autogp_tpu.inference import greedy
+    return greedy.fit_greedy(model, max_depth=max_depth, verbose=verbose,
+                             check=check, callback_fn=callback_fn)
+
+
+# ---------------------------------------------------------------------------
+# Serialization (api.jl:1038-1112)
+# ---------------------------------------------------------------------------
+
+def to_dict(model: GPModel) -> dict:
+    """Serializable dict (Base.Dict(model), api.jl:1061-1081)."""
+    kernels = model.covariance_kernels(reparameterize=False)
+    noises = model.observation_noise_variances(reparameterize=False)
+    return {
+        "pf_state": {
+            "log_weights": np.asarray(model.particles.log_weights,
+                                      np.float64).tolist(),
+            "log_ml_est": float(model.particles.log_ml_est),
+        },
+        "kernels": [_kernel_to_dict(k) for k in kernels],
+        "noises": np.asarray(noises).tolist(),
+        # exact whitened noise (avoids the jitter round-trip drift)
+        "noise_zs": np.asarray(model.particles.noise_z,
+                               np.float64).tolist(),
+        "config": model.config.to_dict(),
+        "ds": _ds_to_jsonable(model.ds),
+        "y": model.y.tolist(),
+        "ds_transform": model.ds_transform.to_dict(),
+        "y_transform": model.y_transform.to_dict(),
+    }
+
+
+def from_dict(d: dict) -> GPModel:
+    """Rebuild a GPModel (GPModel(::Dict), api.jl:1084-1106)."""
+    config = GPConfig.from_dict(d["config"])
+    ds = _ds_from_jsonable(d["ds"])
+    y = np.asarray(d["y"], dtype=np.float64)
+    m = GPModel(ds, y, n_particles=len(d["kernels"]), config=config,
+                _defer_init=True)
+    m.ds_transform = TR.LinearTransform.from_dict(d["ds_transform"])
+    m.y_transform = TR.LinearTransform.from_dict(d["y_transform"])
+    kernels = [_kernel_from_dict(k) for k in d["kernels"]]
+    if "noise_zs" in d:
+        noise_zs = np.asarray(d["noise_zs"], dtype=np.float64)
+    else:
+        noise_zs = np.array([M.untransform_param("noise", v, config)
+                             for v in d["noises"]])
+    m.particles = _particles_from_kernels(
+        kernels, noise_zs, m, config,
+        log_weights=np.asarray(d["pf_state"]["log_weights"]))
+    m.particles = m.particles._replace(
+        log_ml_est=jnp.asarray(d["pf_state"]["log_ml_est"], m.dtype))
+    return m
+
+
+def _kernel_to_dict(node: GP.Node) -> dict:
+    import dataclasses as _dc
+    out = {"type": type(node).__name__}
+    for f in _dc.fields(node):
+        v = getattr(node, f.name)
+        out[f.name] = _kernel_to_dict(v) if isinstance(v, GP.Node) \
+            else float(v)
+    return out
+
+
+def _kernel_from_dict(d: dict) -> GP.Node:
+    cls = getattr(GP, d["type"])
+    kw = {k: (_kernel_from_dict(v) if isinstance(v, dict) else v)
+          for k, v in d.items() if k != "type"}
+    return cls(**kw)
+
+
+def _ds_to_jsonable(ds: np.ndarray):
+    if np.issubdtype(ds.dtype, np.datetime64):
+        return {"kind": "datetime64",
+                "values": ds.astype("datetime64[ns]").astype(
+                    np.int64).tolist()}
+    return {"kind": "numeric", "values": ds.astype(np.float64).tolist()}
+
+
+def _ds_from_jsonable(d):
+    if isinstance(d, dict):
+        if d["kind"] == "datetime64":
+            return np.asarray(d["values"],
+                              dtype=np.int64).astype("datetime64[ns]")
+        return np.asarray(d["values"], dtype=np.float64)
+    return np.asarray(d)

@@ -183,3 +183,31 @@ def subtree_replace_step(key, node_type, params_z, noise_z, lml_cached,
         params=jnp.where(accept, new_params, params_z),
         lml=jnp.where(accept, lml_new, lml_cached),
         accepted=accept)
+
+
+def tree_rejuvenation_step(key, node_type, params_z, noise_z, lml_cached,
+                           data, cfg: C.GPConfig, tables: M.PriorTables,
+                           biased=False):
+    """Umbrella involutive kernel: 50/50 mixture of subtree-replace and
+    detach-attach (inference_rejuv_tree.jl:23-55); detach-attach is
+    disabled when the depth cap is 1. The move_type choice density is
+    symmetric and cancels from the acceptance ratio."""
+    from autogp_tpu.inference import moves_da
+
+    if tables.depth_cap == 1:
+        return subtree_replace_step(key, node_type, params_z, noise_z,
+                                    lml_cached, data, cfg, tables,
+                                    biased=biased)
+    k_sel, k_mv = jax.random.split(key)
+    use_da = jax.random.uniform(k_sel) < 0.5
+    res_sr = subtree_replace_step(k_mv, node_type, params_z, noise_z,
+                                  lml_cached, data, cfg, tables,
+                                  biased=biased)
+    res_da = moves_da.detach_attach_step(k_mv, node_type, params_z,
+                                         noise_z, lml_cached, data, cfg,
+                                         tables, biased=biased)
+    return MHResult(
+        node_type=jnp.where(use_da, res_da.node_type, res_sr.node_type),
+        params=jnp.where(use_da, res_da.params, res_sr.params),
+        lml=jnp.where(use_da, res_da.lml, res_sr.lml),
+        accepted=jnp.where(use_da, res_da.accepted, res_sr.accepted))

@@ -173,7 +173,7 @@ def rejuvenate_structure(key, particles: Particles, data: Dataset,
 
     def mh_all(keys, nt, pz, nz, lml):
         return jax.vmap(
-            lambda k, a, b, c, l: moves.subtree_replace_step(
+            lambda k, a, b, c, l: moves.tree_rejuvenation_step(
                 k, a, b, c, l, d, cfg, tables, biased=biased)
         )(keys, nt, pz, nz, lml)
 

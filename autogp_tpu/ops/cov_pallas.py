@@ -1,0 +1,220 @@
+"""Fused covariance-matrix assembly as a Pallas TPU kernel.
+
+The XLA path (gp_math.eval_cov) evaluates every leaf formula at every heap
+slot under vmap (lax select-all-branches), costing ~10-30 elementwise N^2
+passes per slot. Here node types and parameters live in SMEM, so the
+kernel takes REAL scalar branches per slot: inactive slots cost nothing,
+and each active node costs exactly one tile-level formula or combine.
+The whole tree evaluation runs on a post-order value stack in VMEM with a
+dynamic stack pointer in SMEM.
+
+Layout: grid (P, N/TI, N/TJ); each program assembles one [TI, TJ] tile of
+one particle's covariance matrix, reading the time tiles from VMEM and the
+tree (int8-scale metadata) from SMEM.
+
+Formulas mirror GP.jl:135-517 (see autogp_tpu/gp_math.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from autogp_tpu import config as C
+from autogp_tpu import gp_math
+
+
+def _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref, sp_ref,
+                    depth_cap: int):
+    """Evaluate the encoded tree on a [TI, TJ] tile via the post-order
+    stack. nt_ref/par_ref are SMEM refs ([1,M], [1,M,3]); t1 [TI,1], t2 [1,TJ].
+    Leaves the result in stack_ref[0]."""
+    dt = t1 - t2
+    adt = jnp.abs(dt)
+
+    sp_ref[0] = 0
+
+    for s in gp_math.postorder(depth_cap):
+        t = nt_ref[0, s]
+
+        # --- leaves: push one tile ---------------------------------------
+        @pl.when(t == C.CONSTANT)
+        def _():
+            sp = sp_ref[0]
+            stack_ref[sp] = par_ref[0, s, 0] + jnp.zeros_like(dt)
+            sp_ref[0] = sp + 1
+
+        @pl.when(t == C.WHITE_NOISE)
+        def _():
+            sp = sp_ref[0]
+            stack_ref[sp] = jnp.where(dt == 0, par_ref[0, s, 0], 0.0)
+            sp_ref[0] = sp + 1
+
+        @pl.when(t == C.LINEAR)
+        def _():
+            sp = sp_ref[0]
+            c = par_ref[0, s, 0]
+            stack_ref[sp] = par_ref[0, s, 1] + par_ref[0, s, 2] * (
+                (t1 - c) * (t2 - c))
+            sp_ref[0] = sp + 1
+
+        @pl.when(t == C.SQUARED_EXPONENTIAL)
+        def _():
+            sp = sp_ref[0]
+            l = par_ref[0, s, 0]
+            stack_ref[sp] = par_ref[0, s, 1] * jnp.exp(
+                (-0.5 / (l * l)) * (dt * dt))
+            sp_ref[0] = sp + 1
+
+        @pl.when(t == C.GAMMA_EXPONENTIAL)
+        def _():
+            sp = sp_ref[0]
+            l = par_ref[0, s, 0]
+            g = par_ref[0, s, 1]
+            safe = jnp.where(adt == 0, 1.0, adt / l)
+            powg = jnp.where(adt == 0, 0.0,
+                             jnp.exp(g * jnp.log(safe)))
+            stack_ref[sp] = par_ref[0, s, 2] * jnp.exp(-powg)
+            sp_ref[0] = sp + 1
+
+        @pl.when(t == C.PERIODIC)
+        def _():
+            sp = sp_ref[0]
+            l = par_ref[0, s, 0]
+            freq = math.pi / par_ref[0, s, 1]
+            sn = jnp.sin(freq * adt)
+            stack_ref[sp] = par_ref[0, s, 2] * jnp.exp(
+                (-2.0 / (l * l)) * sn * sn)
+            sp_ref[0] = sp + 1
+
+        # --- operators: pop two, push one --------------------------------
+        @pl.when(t == C.PLUS)
+        def _():
+            sp = sp_ref[0]
+            stack_ref[sp - 2] = stack_ref[sp - 2] + stack_ref[sp - 1]
+            sp_ref[0] = sp - 1
+
+        @pl.when(t == C.TIMES)
+        def _():
+            sp = sp_ref[0]
+            stack_ref[sp - 2] = stack_ref[sp - 2] * stack_ref[sp - 1]
+            sp_ref[0] = sp - 1
+
+        @pl.when(t == C.CHANGEPOINT)
+        def _():
+            sp = sp_ref[0]
+            loc = par_ref[0, s, 0]
+            inv = 2.0 / C.CHANGEPOINT_SCALE
+            s1 = jax.nn.sigmoid((loc - t1) * inv)
+            s2 = jax.nn.sigmoid((loc - t2) * inv)
+            left = stack_ref[sp - 2]
+            right = stack_ref[sp - 1]
+            stack_ref[sp - 2] = (s1 * left * s2
+                                 + (1.0 - s1) * right * (1.0 - s2))
+            sp_ref[0] = sp - 1
+
+
+def _cov_kernel(nt_ref, par_ref, noise_ref, tsc_ref, tsr_ref, mkc_ref,
+                mkr_ref, out_ref, stack_ref, sp_ref, *, depth_cap: int,
+                tile_i: int, tile_j: int, masked: bool):
+    t1 = tsc_ref[:, 0:1]          # [TI, 1]
+    t2 = tsr_ref[0:1, :]          # [1, TJ]
+    _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref, sp_ref, depth_cap)
+    K = stack_ref[0]
+
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+           + i * tile_i)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+           + j * tile_j)
+    diag = (row == col).astype(K.dtype)
+
+    K = K + noise_ref[0] * diag
+    if masked:
+        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, :]
+        K = jnp.where(m2 > 0, K, diag)
+    out_ref[0] = K
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("depth_cap", "masked", "tile", "interpret"))
+def cov_matrix_batched(node_type, params_t, noise, ts, mask,
+                       depth_cap: int, masked: bool = True,
+                       tile: int = 128, interpret: bool = False):
+    """[P,N,N] covariance matrices for a batch of tensor traces.
+
+    K_p = eval_cov(tree_p, ts, ts) + noise_p*I, with masked-out rows/cols
+    replaced by identity when `masked` (ready for Cholesky/LML).
+    `params_t` are transformed parameters [P,M,3]; `ts`/`mask` are shared
+    across the batch ([N]).
+    """
+    P, M = node_type.shape
+    N = ts.shape[0]
+    assert N % tile == 0, (N, tile)
+    dt = params_t.dtype
+    ts_col = ts.reshape(N, 1).astype(dt)
+    ts_row = ts.reshape(1, N).astype(dt)
+    mk_col = mask.reshape(N, 1).astype(dt)
+    mk_row = mask.reshape(1, N).astype(dt)
+
+    grid = (P, N // tile, N // tile)
+    kernel = functools.partial(_cov_kernel, depth_cap=depth_cap,
+                               tile_i=tile, tile_j=tile, masked=masked)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, M), lambda p, i, j: (p, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M, C.MAX_PARAMS), lambda p, i, j: (p, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda p, i, j: (p,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 1), lambda p, i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda p, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda p, i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda p, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, tile),
+                               lambda p, i, j: (p, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, N, N), dt),
+        scratch_shapes=[
+            pltpu.VMEM((depth_cap, tile, tile), dt),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=P * N * N * 12 * depth_cap,
+            bytes_accessed=P * N * N * np.dtype(dt).itemsize,
+            transcendentals=P * N * N * 2 * depth_cap,
+        ),
+    )(_squeeze_smem(node_type), params_t, noise, ts_col, ts_row,
+      mk_col, mk_row)
+
+
+def _squeeze_smem(node_type):
+    return node_type.astype(jnp.int32)
+
+
+
+# Convenience single-particle wrapper used by tests.
+def cov_matrix_single(node_type, params_t, noise, ts, mask,
+                      depth_cap: int, masked: bool = True,
+                      tile: int = 128, interpret: bool = False):
+    K = cov_matrix_batched(node_type[None], params_t[None],
+                           jnp.asarray(noise)[None], ts, mask, depth_cap,
+                           masked=masked, tile=tile, interpret=interpret)
+    return K[0]

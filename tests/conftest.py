@@ -19,3 +19,10 @@ import jax  # noqa: E402
 if os.environ.get("AUTOGP_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite compiles a few dozen sizable XLA
+# programs (SMC rounds, HMC scans); caching them across runs cuts the suite
+# from ~15min to ~2min on re-runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
