@@ -1,0 +1,31 @@
+"""Backend selection for the hot covariance-assembly path.
+
+The Pallas fused-assembly kernel is used automatically on TPU (float32);
+the XLA stack-machine evaluator is used on CPU, under float64, and for
+gradient paths (HMC / MAP optimization) until the custom-VJP kernel lands.
+Set AUTOGP_NO_PALLAS=1 to force the XLA path everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_FORCED = None
+
+
+def set_use_pallas(value):
+    """Force (True/False) or restore auto-detection (None)."""
+    global _FORCED
+    _FORCED = value
+
+
+def use_pallas() -> bool:
+    if _FORCED is not None:
+        return _FORCED
+    if os.environ.get("AUTOGP_NO_PALLAS") == "1":
+        return False
+    if jax.config.jax_enable_x64:
+        return False
+    return jax.default_backend() == "tpu"

@@ -90,25 +90,33 @@ def _leaf_cov(t, p, t1, t2):
     t1: [N1,1]; t2: [1,N2]. Returns [N1,N2].
     Computed as a masked sum of all six formulas: under vmap a switch would
     execute every branch anyway, and the masked form keeps XLA fusion simple.
+
+    Every division/pow is guarded: slots of OTHER node types feed zeros
+    into these formulas, and although jnp.where filters the VALUES, a NaN
+    partial inside an unselected branch still poisons the gradient
+    (0-cotangent x inf-partial = NaN). The guards are no-ops for valid
+    (positive) parameters.
     """
     dt = t1 - t2
     adt = jnp.abs(dt)
     dt2 = dt * dt
     ones = jnp.ones(jnp.broadcast_shapes(t1.shape, t2.shape), t1.dtype)
+    p0s = jnp.where(p[0] == 0, 1.0, p[0])      # lengthscales
+    p1s = jnp.where(p[1] == 0, 1.0, p[1])      # period
 
     k_const = p[0] * ones
     k_wn = jnp.where(dt == 0, p[0], 0.0)
     k_lin = p[1] + p[2] * (t1 - p[0]) * (t2 - p[0])
-    k_se = p[1] * jnp.exp(-0.5 * dt2 / (p[0] * p[0]))
+    k_se = p[1] * jnp.exp(-0.5 * dt2 / (p0s * p0s))
     # GammaExponential: |dt|^gamma is non-smooth at dt=0; the double-where
     # guard keeps both the value and the gradient finite there
     # (exp(-(0/l)^g) == 1 with zero gradient).
-    safe = jnp.where(adt == 0, 1.0, adt)
-    powg = jnp.where(adt == 0, 0.0, (safe / p[0]) ** p[1])
+    ratio = jnp.maximum(jnp.where(adt == 0, 1.0, adt / p0s), 1e-30)
+    powg = jnp.where(adt == 0, 0.0, jnp.exp(p[1] * jnp.log(ratio)))
     k_ge = p[2] * jnp.exp(-powg)
-    freq = math.pi / p[1]
+    freq = math.pi / p1s
     s = jnp.sin(freq * adt)
-    k_per = p[2] * jnp.exp((-2.0 / (p[0] * p[0])) * s * s)
+    k_per = p[2] * jnp.exp((-2.0 / (p0s * p0s)) * s * s)
 
     return (jnp.where(t == C.CONSTANT, k_const, 0.0)
             + jnp.where(t == C.WHITE_NOISE, k_wn, 0.0)

@@ -37,6 +37,7 @@ MAX_OPT_MCMC = 10      # greedy_mcmc_rejuvenate (Greedy.jl:57)
 def _score_fn(nt, pz, nz, data, cfg, tables, pmask):
     lp_params = jnp.sum(M.normal_logpdf(pz) * pmask)
     lp_noise = M.normal_logpdf(nz)
+    # The Pallas assembly is differentiable via its custom-VJP kernel.
     lml = M.lml(nt, pz, nz, data.ts, data.xs, data.mask, cfg, tables)
     return lp_params + lp_noise + lml, lml
 

@@ -40,6 +40,8 @@ def _joint_logp(node_type, params_z, noise_z, ts, xs, mask, cfg, tables,
     (params, noise) are omitted; both HMC kernels difference this."""
     lp_params = jnp.sum(M.normal_logpdf(params_z) * pmask)
     lp_noise = M.normal_logpdf(noise_z)
+    # Gradient path: the Pallas assembly is differentiable via its
+    # custom-VJP kernel (ops/cov_pallas_vjp.py), so auto-select.
     lml = M.lml(node_type, params_z, noise_z, ts, xs, mask, cfg, tables)
     return lp_params + lp_noise + lml, lml
 

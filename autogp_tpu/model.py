@@ -132,9 +132,13 @@ def prior_tables(config: C.GPConfig) -> PriorTables:
     )
 
 
-def _dist_row(depth, cp_allowed, tables: PriorTables):
-    """Index of the node distribution row for a slot (Model.jl:66-76)."""
-    at_cap = depth == tables.depth_cap
+def _dist_row(depth, cp_allowed, tables: PriorTables, leaf_cap=None):
+    """Index of the node distribution row for a slot (Model.jl:66-76).
+
+    `leaf_cap` overrides the depth at which the leaf-only row applies
+    (used when scoring a tree under a *shallower* config than the heap it
+    is embedded in, e.g. depth-annealed SMC)."""
+    at_cap = depth == (tables.depth_cap if leaf_cap is None else leaf_cap)
     row = jnp.where(at_cap, 0, jnp.where(cp_allowed, 2, 1))
     return row
 
@@ -149,12 +153,13 @@ def in_subtree(slot_idx, root_idx, tables: PriorTables):
 # ---------------------------------------------------------------------------
 
 def tree_prior_logpdf(node_type, params_z, tables: PriorTables,
-                      root_idx=0, root_cp_allowed=None):
+                      root_idx=0, root_cp_allowed=None, leaf_cap=None):
     """Log density of the subtree rooted at `root_idx` under the PCFG prior.
 
     With root_idx=0 and root_cp_allowed=config.changepoints this is the full
     tree prior. `root_cp_allowed` is a traced bool (changepoint gating for
-    subtree proposals, inference_rejuv_tree_sr.jl:27-39).
+    subtree proposals, inference_rejuv_tree_sr.jl:27-39). `leaf_cap`
+    optionally scores under a shallower max_depth than the heap size.
     """
     M = node_type.shape[0]
     if root_cp_allowed is None:
@@ -168,7 +173,7 @@ def tree_prior_logpdf(node_type, params_z, tables: PriorTables,
     cp_allowed = jnp.where(is_root, root_cp_allowed,
                            parent_type == C.CHANGEPOINT)
 
-    rows = _dist_row(tables.depths, cp_allowed, tables)
+    rows = _dist_row(tables.depths, cp_allowed, tables, leaf_cap=leaf_cap)
     # Code 9 (WhiteNoise) never appears under the prior; clamp for gather.
     code_idx = jnp.clip(node_type - 1, 0, 7)
     logp_type = tables.log_node_dist[rows, code_idx]
@@ -250,9 +255,23 @@ def sample_tree(key, tables: PriorTables, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def lml(node_type, params_z, noise_z, ts, xs, mask, config: C.GPConfig,
-        tables: PriorTables):
+        tables: PriorTables, pallas=None):
+    """Log marginal likelihood for one particle.
+
+    `pallas=None` auto-selects the fused Pallas assembly on TPU for
+    forward-only call sites; gradient paths (HMC, MAP optimization) pass
+    pallas=False until the custom-VJP kernel lands.
+    """
     params_t = transform_params(node_type, params_z, tables.ttable)
     noise = transform_noise(noise_z, config)
+    if pallas is None:
+        from autogp_tpu import backend
+        pallas = backend.use_pallas()
+    if pallas:
+        from autogp_tpu.ops import cov_pallas_vjp
+        K = cov_pallas_vjp.cov_matrix_diff(node_type, params_t, noise, ts,
+                                           mask, tables.depth_cap)
+        return gp_math.mvn_logpdf_masked(K, xs, mask)
     return gp_math.lml_masked(node_type, params_t, noise, ts, xs, mask,
                               tables.depth_cap)
 

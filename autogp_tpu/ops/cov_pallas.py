@@ -77,7 +77,7 @@ def _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref, sp_ref,
             sp = sp_ref[0]
             l = par_ref[0, s, 0]
             g = par_ref[0, s, 1]
-            safe = jnp.where(adt == 0, 1.0, adt / l)
+            safe = jnp.maximum(jnp.where(adt == 0, 1.0, adt / l), 1e-30)
             powg = jnp.where(adt == 0, 0.0,
                              jnp.exp(g * jnp.log(safe)))
             stack_ref[sp] = par_ref[0, s, 2] * jnp.exp(-powg)
@@ -120,101 +120,119 @@ def _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref, sp_ref,
             sp_ref[0] = sp - 1
 
 
-def _cov_kernel(nt_ref, par_ref, noise_ref, tsc_ref, tsr_ref, mkc_ref,
-                mkr_ref, out_ref, stack_ref, sp_ref, *, depth_cap: int,
-                tile_i: int, tile_j: int, masked: bool):
-    t1 = tsc_ref[:, 0:1]          # [TI, 1]
-    t2 = tsr_ref[0:1, :]          # [1, TJ]
-    _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref, sp_ref, depth_cap)
-    K = stack_ref[0]
-
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
-           + i * tile_i)
-    col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
-           + j * tile_j)
-    diag = (row == col).astype(K.dtype)
-
-    K = K + noise_ref[0] * diag
-    if masked:
-        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, :]
-        K = jnp.where(m2 > 0, K, diag)
-    out_ref[0] = K
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("depth_cap", "masked", "tile", "interpret"))
 def cov_matrix_batched(node_type, params_t, noise, ts, mask,
                        depth_cap: int, masked: bool = True,
-                       tile: int = 128, interpret: bool = False):
+                       tile: int = None, interpret: bool = False):
     """[P,N,N] covariance matrices for a batch of tensor traces.
 
-    K_p = eval_cov(tree_p, ts, ts) + noise_p*I, with masked-out rows/cols
-    replaced by identity when `masked` (ready for Cholesky/LML).
-    `params_t` are transformed parameters [P,M,3]; `ts`/`mask` are shared
-    across the batch ([N]).
+    vmap over the single-particle kernel: the batching rule adds the
+    particle axis as a leading grid dimension of one fused kernel.
     """
-    P, M = node_type.shape
-    N = ts.shape[0]
-    assert N % tile == 0, (N, tile)
-    dt = params_t.dtype
-    ts_col = ts.reshape(N, 1).astype(dt)
-    ts_row = ts.reshape(1, N).astype(dt)
-    mk_col = mask.reshape(N, 1).astype(dt)
-    mk_row = mask.reshape(1, N).astype(dt)
+    return jax.vmap(
+        lambda nt, pt, nz: cov_matrix(nt, pt, nz, ts, mask, depth_cap,
+                                      masked=masked, tile=tile,
+                                      interpret=interpret)
+    )(node_type, params_t, noise)
 
-    grid = (P, N // tile, N // tile)
-    kernel = functools.partial(_cov_kernel, depth_cap=depth_cap,
-                               tile_i=tile, tile_j=tile, masked=masked)
+
+# Convenience single-particle wrapper used by tests.
+def cov_matrix_single(node_type, params_t, noise, ts, mask,
+                      depth_cap: int, masked: bool = True,
+                      tile: int = None, interpret: bool = False):
+    return cov_matrix(node_type, params_t, noise, ts, mask, depth_cap,
+                      masked=masked, tile=tile, interpret=interpret)
+
+
+def _cov_kernel_1p(nt_ref, par_ref, noise_ref, tsc_ref, tsr_ref, mkc_ref,
+                   mkr_ref, out_ref, stack_ref, sp_ref, *, depth_cap: int,
+                   tile_i: int, tile_j: int, masked: bool):
+    """Single-particle variant with grid (I, J); batched via vmap (the
+    pallas_call batching rule turns the vmapped axis into a grid dim).
+
+    Metadata inputs carry a leading singleton dim — (1,M), (1,M,3),
+    (1,1) — so that under vmap the blocks stay equal to the trailing
+    array dims (the Mosaic block-shape rule for SMEM operands)."""
+    t1 = tsc_ref[:, 0:1]
+    t2 = tsr_ref[0:1, :]
+    _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref,
+                    sp_ref, depth_cap)
+    K = stack_ref[0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+           + i * tile_i)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+           + j * tile_j)
+    diag = (row == col).astype(K.dtype)
+    K = K + noise_ref[0, 0] * diag
+    if masked:
+        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, :]
+        K = jnp.where(m2 > 0, K, diag)
+    out_ref[:, :] = K
+
+
+def _pick_tile(N: int) -> int:
+    for t in (256, 128):
+        if N % t == 0:
+            return t
+    for t in (64, 32, 16, 8):
+        if N % t == 0:
+            return t
+    raise ValueError(f"N={N} not divisible by a supported tile size")
+
+
+def cov_matrix(node_type, params_t, noise, ts, mask, depth_cap: int,
+               masked: bool = True, tile: int = None,
+               interpret: bool = False):
+    """Single-particle fused assembly: K = eval_cov + noise*I (masked).
+
+    vmap-compatible: under jax.vmap the particle axis becomes an extra
+    grid dimension of the same kernel.
+    """
+    import functools as _ft
+    M = node_type.shape[0]
+    N = ts.shape[0]
+    tile = tile or _pick_tile(N)
+    dt = params_t.dtype
+    kernel = _ft.partial(_cov_kernel_1p, depth_cap=depth_cap, tile_i=tile,
+                         tile_j=tile, masked=masked)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(N // tile, N // tile),
         in_specs=[
-            pl.BlockSpec((1, M), lambda p, i, j: (p, 0),
+            pl.BlockSpec((1, M), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, M, C.MAX_PARAMS), lambda p, i, j: (p, 0, 0),
+            pl.BlockSpec((1, M, C.MAX_PARAMS), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda p, i, j: (p,),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 1), lambda p, i, j: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda p, i, j: (0, j),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda p, i, j: (i, 0),
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda p, i, j: (0, j),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile, tile),
-                               lambda p, i, j: (p, i, j),
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, N, N), dt),
+        out_shape=jax.ShapeDtypeStruct((N, N), dt),
         scratch_shapes=[
             pltpu.VMEM((depth_cap, tile, tile), dt),
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=P * N * N * 12 * depth_cap,
-            bytes_accessed=P * N * N * np.dtype(dt).itemsize,
-            transcendentals=P * N * N * 2 * depth_cap,
+            flops=N * N * 12 * depth_cap,
+            bytes_accessed=N * N * np.dtype(dt).itemsize,
+            transcendentals=N * N * 2 * depth_cap,
         ),
-    )(_squeeze_smem(node_type), params_t, noise, ts_col, ts_row,
-      mk_col, mk_row)
-
-
-def _squeeze_smem(node_type):
-    return node_type.astype(jnp.int32)
-
-
-
-# Convenience single-particle wrapper used by tests.
-def cov_matrix_single(node_type, params_t, noise, ts, mask,
-                      depth_cap: int, masked: bool = True,
-                      tile: int = 128, interpret: bool = False):
-    K = cov_matrix_batched(node_type[None], params_t[None],
-                           jnp.asarray(noise)[None], ts, mask, depth_cap,
-                           masked=masked, tile=tile, interpret=interpret)
-    return K[0]
+    )(node_type.astype(jnp.int32).reshape(1, M),
+      params_t.astype(dt).reshape(1, M, C.MAX_PARAMS),
+      jnp.asarray(noise, dt).reshape(1, 1), ts.reshape(N, 1).astype(dt),
+      ts.reshape(1, N).astype(dt), mask.reshape(N, 1).astype(dt),
+      mask.reshape(1, N).astype(dt))

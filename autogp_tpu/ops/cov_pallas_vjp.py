@@ -1,0 +1,308 @@
+"""Backward (VJP) kernel for the fused covariance assembly.
+
+Given the cotangent Kbar of the assembled covariance matrix, accumulates
+gradients w.r.t. the transformed node parameters [M,3] and the noise
+scalar. Per tile: a forward sweep stores every active node's value block
+in VMEM, then a reverse post-order sweep propagates adjoints down the tree
+with real scalar branching (reverse post-order visits parents before
+children). Per-tile gradient scalars are written to SMEM outputs shaped
+[n_tiles, M*3] and reduced outside the kernel.
+
+Derivative formulas correspond to GP.jl:135-517.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from autogp_tpu import config as C
+from autogp_tpu import gp_math
+from autogp_tpu.ops import cov_pallas
+
+
+class _Par:
+    """Adapter: par[s, k] -> ref[0, s, k] for the shared forward sweep."""
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def __getitem__(self, idx):
+        return self.ref[(0,) + (idx if isinstance(idx, tuple) else (idx,))]
+
+
+def _fwd_values(nt_ref, par, t1, t2, val_ref, depth_cap: int):
+    """Forward sweep storing each active slot's value block in val_ref[s]."""
+    dt = t1 - t2
+    adt = jnp.abs(dt)
+    M = (1 << depth_cap) - 1
+    for s in gp_math.postorder(depth_cap):
+        t = nt_ref[0, s]
+        l, r = 2 * s + 1, 2 * s + 2
+
+        @pl.when(t == C.CONSTANT)
+        def _():
+            val_ref[s] = par[s, 0] + jnp.zeros_like(dt)
+
+        @pl.when(t == C.WHITE_NOISE)
+        def _():
+            val_ref[s] = jnp.where(dt == 0, par[s, 0], 0.0)
+
+        @pl.when(t == C.LINEAR)
+        def _():
+            c = par[s, 0]
+            val_ref[s] = par[s, 1] + par[s, 2] * ((t1 - c) * (t2 - c))
+
+        @pl.when(t == C.SQUARED_EXPONENTIAL)
+        def _():
+            l_ = par[s, 0]
+            val_ref[s] = par[s, 1] * jnp.exp((-0.5 / (l_ * l_)) * (dt * dt))
+
+        @pl.when(t == C.GAMMA_EXPONENTIAL)
+        def _():
+            l_ = par[s, 0]
+            g = par[s, 1]
+            safe = jnp.maximum(jnp.where(adt == 0, 1.0, adt / l_), 1e-30)
+            powg = jnp.where(adt == 0, 0.0, jnp.exp(g * jnp.log(safe)))
+            val_ref[s] = par[s, 2] * jnp.exp(-powg)
+
+        @pl.when(t == C.PERIODIC)
+        def _():
+            l_ = par[s, 0]
+            freq = math.pi / par[s, 1]
+            sn = jnp.sin(freq * adt)
+            val_ref[s] = par[s, 2] * jnp.exp((-2.0 / (l_ * l_)) * sn * sn)
+
+        if l < M:
+            @pl.when(t == C.PLUS)
+            def _():
+                val_ref[s] = val_ref[l] + val_ref[r]
+
+            @pl.when(t == C.TIMES)
+            def _():
+                val_ref[s] = val_ref[l] * val_ref[r]
+
+            @pl.when(t == C.CHANGEPOINT)
+            def _():
+                loc = par[s, 0]
+                inv = 2.0 / C.CHANGEPOINT_SCALE
+                s1 = jax.nn.sigmoid((loc - t1) * inv)
+                s2 = jax.nn.sigmoid((loc - t2) * inv)
+                val_ref[s] = (s1 * val_ref[l] * s2
+                              + (1.0 - s1) * val_ref[r] * (1.0 - s2))
+
+
+def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
+                kbar_ref, pbar_ref, nbar_ref, val_ref, adj_ref, *,
+                depth_cap: int, tile_i: int, tile_j: int, masked: bool):
+    t1 = tsc_ref[:, 0:1]
+    t2 = tsr_ref[0:1, :]
+    dt = t1 - t2
+    adt = jnp.abs(dt)
+    M = (1 << depth_cap) - 1
+
+    _fwd_values(nt_ref, _Par(par_ref), t1, t2, val_ref, depth_cap)
+
+    kbar = kbar_ref[:, :]
+    if masked:
+        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, :]
+        kbar = kbar * m2
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+           + i * tile_i)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+           + j * tile_j)
+    diag = (row == col).astype(kbar.dtype)
+    nbar_ref[0, 0, 0] = jnp.sum(kbar * diag)
+
+    for s in range(M):
+        for k in range(C.MAX_PARAMS):
+            pbar_ref[0, 0, s * C.MAX_PARAMS + k] = jnp.asarray(
+                0.0, kbar.dtype)
+
+    adj_ref[0] = kbar
+
+    for s in reversed(gp_math.postorder(depth_cap)):
+        t = nt_ref[0, s]
+        l, r = 2 * s + 1, 2 * s + 2
+
+        if l < M:
+            @pl.when(t == C.PLUS)
+            def _():
+                adj_ref[l] = adj_ref[s]
+                adj_ref[r] = adj_ref[s]
+
+            @pl.when(t == C.TIMES)
+            def _():
+                adj_ref[l] = adj_ref[s] * val_ref[r]
+                adj_ref[r] = adj_ref[s] * val_ref[l]
+
+            @pl.when(t == C.CHANGEPOINT)
+            def _():
+                loc = par_ref[0, s, 0]
+                inv = 2.0 / C.CHANGEPOINT_SCALE
+                s1 = jax.nn.sigmoid((loc - t1) * inv)
+                s2 = jax.nn.sigmoid((loc - t2) * inv)
+                a = adj_ref[s]
+                ds1 = s1 * (1.0 - s1) * inv
+                ds2 = s2 * (1.0 - s2) * inv
+                dloc = (ds1 * (s2 * val_ref[l] - (1.0 - s2) * val_ref[r])
+                        + ds2 * (s1 * val_ref[l] - (1.0 - s1) * val_ref[r]))
+                pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(a * dloc)
+                adj_ref[l] = a * s1 * s2
+                adj_ref[r] = a * (1.0 - s1) * (1.0 - s2)
+
+        @pl.when(t == C.CONSTANT)
+        def _():
+            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(adj_ref[s])
+
+        @pl.when(t == C.WHITE_NOISE)
+        def _():
+            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
+                adj_ref[s] * jnp.where(dt == 0, 1.0, 0.0))
+
+        @pl.when(t == C.LINEAR)
+        def _():
+            c = par_ref[0, s, 0]
+            a_ = par_ref[0, s, 2]
+            adj = adj_ref[s]
+            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
+                adj * (-a_) * (t1 + t2 - 2.0 * c))
+            pbar_ref[0, 0, s * C.MAX_PARAMS + 1] = jnp.sum(adj)
+            pbar_ref[0, 0, s * C.MAX_PARAMS + 2] = jnp.sum(
+                adj * (t1 - c) * (t2 - c))
+
+        @pl.when(t == C.SQUARED_EXPONENTIAL)
+        def _():
+            l_ = par_ref[0, s, 0]
+            amp = par_ref[0, s, 1]
+            e = jnp.exp((-0.5 / (l_ * l_)) * (dt * dt))
+            adj = adj_ref[s]
+            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
+                adj * amp * e * (dt * dt) / (l_ * l_ * l_))
+            pbar_ref[0, 0, s * C.MAX_PARAMS + 1] = jnp.sum(adj * e)
+
+        @pl.when(t == C.GAMMA_EXPONENTIAL)
+        def _():
+            l_ = par_ref[0, s, 0]
+            g = par_ref[0, s, 1]
+            amp = par_ref[0, s, 2]
+            safe = jnp.maximum(jnp.where(adt == 0, 1.0, adt / l_), 1e-30)
+            logs = jnp.where(adt == 0, 0.0, jnp.log(safe))
+            u = jnp.where(adt == 0, 0.0, jnp.exp(g * jnp.log(safe)))
+            e = jnp.exp(-u)
+            adj = adj_ref[s]
+            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
+                adj * amp * e * g * u / l_)
+            pbar_ref[0, 0, s * C.MAX_PARAMS + 1] = jnp.sum(
+                adj * amp * e * (-u) * logs)
+            pbar_ref[0, 0, s * C.MAX_PARAMS + 2] = jnp.sum(adj * e)
+
+        @pl.when(t == C.PERIODIC)
+        def _():
+            l_ = par_ref[0, s, 0]
+            p_ = par_ref[0, s, 1]
+            amp = par_ref[0, s, 2]
+            freq = math.pi / p_
+            sn = jnp.sin(freq * adt)
+            cs = jnp.cos(freq * adt)
+            e = jnp.exp((-2.0 / (l_ * l_)) * sn * sn)
+            adj = adj_ref[s]
+            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
+                adj * amp * e * (4.0 * sn * sn) / (l_ * l_ * l_))
+            pbar_ref[0, 0, s * C.MAX_PARAMS + 1] = jnp.sum(
+                adj * amp * e * (4.0 / (l_ * l_)) * sn * cs
+                * (math.pi * adt / (p_ * p_)))
+            pbar_ref[0, 0, s * C.MAX_PARAMS + 2] = jnp.sum(adj * e)
+
+
+def _cov_grads(node_type, params_t, kbar, ts, mask, depth_cap: int,
+               masked: bool, tile: int = None, interpret: bool = False):
+    """Launch the gradient kernel; returns (params_bar [M,3], noise_bar)."""
+    M = node_type.shape[0]
+    N = ts.shape[0]
+    if tile is None:
+        tile = cov_pallas._pick_tile(N)
+        # Two [M, tile, tile] scratch buffers must fit in VMEM.
+        while 2 * M * tile * tile * 4 > 10 * 2 ** 20 and tile > 8:
+            tile //= 2
+    dt = params_t.dtype
+    nI = N // tile
+    kernel = functools.partial(_bwd_kernel, depth_cap=depth_cap,
+                               tile_i=tile, tile_j=tile, masked=masked)
+    pbar_tiles, nbar_tiles = pl.pallas_call(
+        kernel,
+        grid=(nI, nI),
+        in_specs=[
+            pl.BlockSpec((1, M), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M, C.MAX_PARAMS), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, M * C.MAX_PARAMS),
+                         lambda i, j, _nI=nI: (i * _nI + j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, j, _nI=nI: (i * _nI + j, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nI * nI, 1, M * C.MAX_PARAMS), dt),
+            jax.ShapeDtypeStruct((nI * nI, 1, 1), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, tile, tile), dt),
+            pltpu.VMEM((M, tile, tile), dt),
+        ],
+        interpret=interpret,
+    )(node_type.astype(jnp.int32).reshape(1, M),
+      params_t[None].astype(dt),
+      ts.reshape(N, 1).astype(dt), ts.reshape(1, N).astype(dt),
+      mask.reshape(N, 1).astype(dt), mask.reshape(1, N).astype(dt),
+      kbar.astype(dt))
+    pbar = jnp.sum(pbar_tiles, axis=(0, 1)).reshape(M, C.MAX_PARAMS)
+    return pbar, jnp.sum(nbar_tiles)
+
+
+def cov_matrix_diff(node_type, params_t, noise, ts, mask, depth_cap: int,
+                    masked: bool = True, interpret: bool = False):
+    """Differentiable fused assembly: forward = cov_pallas.cov_matrix,
+    backward = the Pallas gradient kernel. Differentiable in
+    (params_t, noise); node_type/ts/mask are treated as constants.
+    """
+
+    @jax.custom_vjp
+    def f(par, nz):
+        return cov_pallas.cov_matrix(node_type, par, nz, ts, mask,
+                                     depth_cap, masked=masked,
+                                     interpret=interpret)
+
+    def fwd(par, nz):
+        return f(par, nz), (par,)
+
+    def bwd(res, kbar):
+        (par,) = res
+        pbar, nbar = _cov_grads(node_type, par, kbar, ts, mask, depth_cap,
+                                masked, interpret=interpret)
+        return pbar, nbar
+
+    f.defvjp(fwd, bwd)
+    return f(params_t, noise)

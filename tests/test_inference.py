@@ -235,3 +235,25 @@ def test_smc_end_to_end_smoke():
         node = tree.tensor_to_node(np.asarray(parts.node_type[i]),
                                    np.asarray(parts.params[i]), CFG)
         assert node.size >= 1
+
+
+def test_smc_anneal_depth_smoke():
+    """Depth-annealed SMC variant: runs, finite weights, depth grows."""
+    from autogp_tpu.inference import smc_depth
+    rng = np.random.default_rng(2)
+    n = 24
+    ts = np.linspace(0, 1, n)
+    xs = np.sin(2 * np.pi * 3 * ts) + 0.1 * rng.standard_normal(n)
+    parts, cfg = smc_depth.run_smc_anneal_depth(
+        jax.random.PRNGKey(0), ts, xs, schedule=[1, 2],
+        n_particles=4, n_mcmc=1, n_hmc=1)
+    assert cfg.max_depth == 2
+    assert parts.node_type.shape[1] == 3
+    assert np.isfinite(np.asarray(parts.log_weights)).all()
+    assert np.isfinite(np.asarray(parts.lml)).all()
+    # Trees remain valid under the final config.
+    nts = np.asarray(parts.node_type)
+    for s in range(1, 3):
+        par = (s - 1) // 2
+        is_op = np.isin(nts[:, par], [6, 7, 8])
+        assert ((nts[:, s] > 0) == is_op).all()

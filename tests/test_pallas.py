@@ -34,7 +34,7 @@ def cases():
 
 @pytest.mark.parametrize("masked", [True, False])
 def test_cov_pallas_matches_xla(masked):
-    n, pad = 100, 128
+    n, pad = 50, 64
     ts = np.zeros(pad)
     ts[:n] = np.linspace(0.0, 1.0, n)
     mask = np.zeros(pad)
@@ -55,7 +55,7 @@ def test_cov_pallas_matches_xla(masked):
     got = cov_pallas.cov_matrix_batched(
         jnp.asarray(nts), pts, jnp.full((P,), noise),
         jnp.asarray(ts), jnp.asarray(mask), CFG.depth_cap,
-        masked=masked, tile=64, interpret=True)
+        masked=masked, tile=32, interpret=True)
 
     for i in range(P):
         Kx = gp_math.eval_cov(jnp.asarray(nts[i]), pts[i],
@@ -67,3 +67,49 @@ def test_cov_pallas_matches_xla(masked):
         np.testing.assert_allclose(np.asarray(got[i]), np.asarray(Kx),
                                    rtol=1e-6, atol=1e-8,
                                    err_msg=str(nodes[i]))
+
+
+GRAD_CASES = [cases()[1], cases()[4], cases()[5]]
+
+
+@pytest.mark.parametrize("node", GRAD_CASES, ids=lambda n: K.pretty(n)[:40])
+def test_cov_pallas_vjp_matches_xla_grads(node):
+    """Custom-VJP kernel gradients == XLA autodiff gradients (z-space)."""
+    import jax.numpy as jnp
+    from autogp_tpu import model as M
+    from autogp_tpu.ops import cov_pallas_vjp
+    from autogp_tpu.tree import param_mask
+
+    n, pad = 25, 32
+    ts = np.zeros(pad); ts[:n] = np.linspace(0.0, 1.0, n)
+    mask = np.zeros(pad); mask[:n] = 1.0
+    xs = np.zeros(pad); xs[:n] = np.sin(np.linspace(0, 8, n))
+    ts_j, mask_j, xs_j = map(jnp.asarray, (ts, mask, xs))
+
+    nt, pz = tree.node_to_tensor(node, CFG)
+    nt = jnp.asarray(nt)
+    pz = jnp.asarray(pz)
+
+    def lml_xla(z, nz):
+        pt = M.transform_params(nt, z, TAB.ttable)
+        Kx = gp_math.eval_cov(nt, pt, ts_j, ts_j, CFG.depth_cap) \
+            + nz * jnp.eye(pad)
+        return gp_math.mvn_logpdf_masked(Kx, xs_j, mask_j)
+
+    def lml_pal(z, nz):
+        pt = M.transform_params(nt, z, TAB.ttable)
+        Kp = cov_pallas_vjp.cov_matrix_diff(nt, pt, nz, ts_j, mask_j,
+                                            CFG.depth_cap, interpret=True)
+        return gp_math.mvn_logpdf_masked(Kp, xs_j, mask_j)
+
+    vx, gx = jax.value_and_grad(lml_xla, argnums=(0, 1))(
+        pz, jnp.asarray(0.25))
+    vp, gp = jax.value_and_grad(lml_pal, argnums=(0, 1))(
+        pz, jnp.asarray(0.25))
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(float(gp[1]), float(gx[1]), rtol=1e-8)
+    assert np.isfinite(np.asarray(gx[0])).all()
+    pm = np.asarray(param_mask(nt))
+    assert (np.asarray(gp[0])[pm == 0] == 0).all()
