@@ -175,10 +175,9 @@ def _cov_kernel_1p(nt_ref, par_ref, noise_ref, tsc_ref, tsr_ref, mkc_ref,
 
 
 def _pick_tile(N: int) -> int:
-    for t in (256, 128):
-        if N % t == 0:
-            return t
-    for t in (64, 32, 16, 8):
+    # 128 measured 3.8x faster than 256 at N=1024 on v5e (VMEM residency /
+    # pipelining); larger tiles also compile much slower.
+    for t in (128, 64, 32, 16, 8):
         if N % t == 0:
             return t
     raise ValueError(f"N={N} not divisible by a supported tile size")

@@ -27,6 +27,16 @@ from autogp_tpu import gp_math
 from autogp_tpu.ops import cov_pallas
 
 
+def _acc(acc_ref, idx, value):
+    """Accumulate a tile expression into the VMEM gradient accumulator.
+
+    Full [T,T]->scalar reductions stall the VPU pipeline (~10 per tile
+    made the backward kernel reduction-bound); instead accumulate the
+    cheap sublane row-sum [T,T]->[1,T] and reduce to scalars once per
+    particle at the last tile."""
+    acc_ref[idx, :] = acc_ref[idx, :] + jnp.sum(value, axis=0)
+
+
 class _Par:
     """Adapter: par[s, k] -> ref[0, s, k] for the shared forward sweep."""
 
@@ -99,7 +109,7 @@ def _fwd_values(nt_ref, par, t1, t2, val_ref, depth_cap: int):
 
 
 def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
-                kbar_ref, pbar_ref, nbar_ref, val_ref, adj_ref, *,
+                kbar_ref, pbar_ref, val_ref, adj_ref, acc_ref, *,
                 depth_cap: int, tile_i: int, tile_j: int, masked: bool):
     t1 = tsc_ref[:, 0:1]
     t2 = tsr_ref[0:1, :]
@@ -121,12 +131,15 @@ def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
     col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
            + j * tile_j)
     diag = (row == col).astype(kbar.dtype)
-    nbar_ref[0, 0, 0] = jnp.sum(kbar * diag)
 
-    for s in range(M):
-        for k in range(C.MAX_PARAMS):
-            pbar_ref[0, 0, s * C.MAX_PARAMS + k] = jnp.asarray(
-                0.0, kbar.dtype)
+    # The TPU grid is sequential, so SMEM scratch accumulates across the
+    # (i, j) tiles of one particle; under vmap the particle axis is the
+    # outermost grid dim, and the (0,0) tile resets the accumulators.
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[:, :] = jnp.zeros(acc_ref.shape, kbar.dtype)
+
+    _acc(acc_ref, acc_ref.shape[0] - 1, kbar * diag)
 
     adj_ref[0] = kbar
 
@@ -156,29 +169,29 @@ def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
                 ds2 = s2 * (1.0 - s2) * inv
                 dloc = (ds1 * (s2 * val_ref[l] - (1.0 - s2) * val_ref[r])
                         + ds2 * (s1 * val_ref[l] - (1.0 - s1) * val_ref[r]))
-                pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(a * dloc)
+                _acc(acc_ref, s * C.MAX_PARAMS, (a * dloc))
                 adj_ref[l] = a * s1 * s2
                 adj_ref[r] = a * (1.0 - s1) * (1.0 - s2)
 
         @pl.when(t == C.CONSTANT)
         def _():
-            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(adj_ref[s])
+            _acc(acc_ref, s * C.MAX_PARAMS, (adj_ref[s]))
 
         @pl.when(t == C.WHITE_NOISE)
         def _():
-            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
-                adj_ref[s] * jnp.where(dt == 0, 1.0, 0.0))
+            _acc(acc_ref, s * C.MAX_PARAMS, (
+                adj_ref[s] * jnp.where(dt == 0, 1.0, 0.0)))
 
         @pl.when(t == C.LINEAR)
         def _():
             c = par_ref[0, s, 0]
             a_ = par_ref[0, s, 2]
             adj = adj_ref[s]
-            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
-                adj * (-a_) * (t1 + t2 - 2.0 * c))
-            pbar_ref[0, 0, s * C.MAX_PARAMS + 1] = jnp.sum(adj)
-            pbar_ref[0, 0, s * C.MAX_PARAMS + 2] = jnp.sum(
-                adj * (t1 - c) * (t2 - c))
+            _acc(acc_ref, s * C.MAX_PARAMS, (
+                adj * (-a_) * (t1 + t2 - 2.0 * c)))
+            _acc(acc_ref, s * C.MAX_PARAMS + 1, (adj))
+            _acc(acc_ref, s * C.MAX_PARAMS + 2, (
+                adj * (t1 - c) * (t2 - c)))
 
         @pl.when(t == C.SQUARED_EXPONENTIAL)
         def _():
@@ -186,9 +199,9 @@ def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
             amp = par_ref[0, s, 1]
             e = jnp.exp((-0.5 / (l_ * l_)) * (dt * dt))
             adj = adj_ref[s]
-            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
-                adj * amp * e * (dt * dt) / (l_ * l_ * l_))
-            pbar_ref[0, 0, s * C.MAX_PARAMS + 1] = jnp.sum(adj * e)
+            _acc(acc_ref, s * C.MAX_PARAMS, (
+                adj * amp * e * (dt * dt) / (l_ * l_ * l_)))
+            _acc(acc_ref, s * C.MAX_PARAMS + 1, (adj * e))
 
         @pl.when(t == C.GAMMA_EXPONENTIAL)
         def _():
@@ -200,11 +213,11 @@ def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
             u = jnp.where(adt == 0, 0.0, jnp.exp(g * jnp.log(safe)))
             e = jnp.exp(-u)
             adj = adj_ref[s]
-            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
-                adj * amp * e * g * u / l_)
-            pbar_ref[0, 0, s * C.MAX_PARAMS + 1] = jnp.sum(
-                adj * amp * e * (-u) * logs)
-            pbar_ref[0, 0, s * C.MAX_PARAMS + 2] = jnp.sum(adj * e)
+            _acc(acc_ref, s * C.MAX_PARAMS, (
+                adj * amp * e * g * u / l_))
+            _acc(acc_ref, s * C.MAX_PARAMS + 1, (
+                adj * amp * e * (-u) * logs))
+            _acc(acc_ref, s * C.MAX_PARAMS + 2, (adj * e))
 
         @pl.when(t == C.PERIODIC)
         def _():
@@ -216,12 +229,18 @@ def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
             cs = jnp.cos(freq * adt)
             e = jnp.exp((-2.0 / (l_ * l_)) * sn * sn)
             adj = adj_ref[s]
-            pbar_ref[0, 0, s * C.MAX_PARAMS] = jnp.sum(
-                adj * amp * e * (4.0 * sn * sn) / (l_ * l_ * l_))
-            pbar_ref[0, 0, s * C.MAX_PARAMS + 1] = jnp.sum(
+            _acc(acc_ref, s * C.MAX_PARAMS, (
+                adj * amp * e * (4.0 * sn * sn) / (l_ * l_ * l_)))
+            _acc(acc_ref, s * C.MAX_PARAMS + 1, (
                 adj * amp * e * (4.0 / (l_ * l_)) * sn * cs
-                * (math.pi * adt / (p_ * p_)))
-            pbar_ref[0, 0, s * C.MAX_PARAMS + 2] = jnp.sum(adj * e)
+                * (math.pi * adt / (p_ * p_))))
+            _acc(acc_ref, s * C.MAX_PARAMS + 2, (adj * e))
+
+    # Emit the accumulated gradients once, at the particle's last tile.
+    @pl.when((i == pl.num_programs(0) - 1) & (j == pl.num_programs(1) - 1))
+    def _():
+        for k in range(acc_ref.shape[0]):
+            pbar_ref[0, k] = jnp.sum(acc_ref[k, :])
 
 
 def _cov_grads(node_type, params_t, kbar, ts, mask, depth_cap: int,
@@ -236,9 +255,10 @@ def _cov_grads(node_type, params_t, kbar, ts, mask, depth_cap: int,
             tile //= 2
     dt = params_t.dtype
     nI = N // tile
+    n_acc = M * C.MAX_PARAMS + 1   # param grads + noise grad
     kernel = functools.partial(_bwd_kernel, depth_cap=depth_cap,
                                tile_i=tile, tile_j=tile, masked=masked)
-    pbar_tiles, nbar_tiles = pl.pallas_call(
+    gout = pl.pallas_call(
         kernel,
         grid=(nI, nI),
         in_specs=[
@@ -257,20 +277,13 @@ def _cov_grads(node_type, params_t, kbar, ts, mask, depth_cap: int,
             pl.BlockSpec((tile, tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, M * C.MAX_PARAMS),
-                         lambda i, j, _nI=nI: (i * _nI + j, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i, j, _nI=nI: (i * _nI + j, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nI * nI, 1, M * C.MAX_PARAMS), dt),
-            jax.ShapeDtypeStruct((nI * nI, 1, 1), dt),
-        ],
+        out_specs=pl.BlockSpec((1, n_acc), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_acc), dt),
         scratch_shapes=[
             pltpu.VMEM((M, tile, tile), dt),
             pltpu.VMEM((M, tile, tile), dt),
+            pltpu.VMEM((n_acc, tile), dt),
         ],
         interpret=interpret,
     )(node_type.astype(jnp.int32).reshape(1, M),
@@ -278,8 +291,8 @@ def _cov_grads(node_type, params_t, kbar, ts, mask, depth_cap: int,
       ts.reshape(N, 1).astype(dt), ts.reshape(1, N).astype(dt),
       mask.reshape(N, 1).astype(dt), mask.reshape(1, N).astype(dt),
       kbar.astype(dt))
-    pbar = jnp.sum(pbar_tiles, axis=(0, 1)).reshape(M, C.MAX_PARAMS)
-    return pbar, jnp.sum(nbar_tiles)
+    pbar = gout[0, :M * C.MAX_PARAMS].reshape(M, C.MAX_PARAMS)
+    return pbar, gout[0, M * C.MAX_PARAMS]
 
 
 def cov_matrix_diff(node_type, params_t, noise, ts, mask, depth_cap: int,
