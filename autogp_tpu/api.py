@@ -233,7 +233,7 @@ def fit_smc(model: GPModel, schedule: Sequence[int], n_mcmc, n_hmc,
         hmc_cfg=_hmc_config(hmc_config, default_n_exit=1),
         permutation=perm, adaptive_resampling=adaptive_resampling,
         adaptive_rejuvenation=adaptive_rejuvenation, verbose=verbose,
-        callback_fn=cb, dtype=model.dtype)
+        check=check, callback_fn=cb, dtype=model.dtype)
     return model
 
 

@@ -280,6 +280,26 @@ def smc_round_jit(cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
 # Driver (run_smc_anneal_data, :143-273)
 # ---------------------------------------------------------------------------
 
+def validate_particles(particles: Particles, cfg: C.GPConfig):
+    """Dynamic self-checks (the reference's check=true analog:
+    Gen.check_observations + structural validity; observations cannot
+    change here by construction, so we assert trace integrity instead)."""
+    nts = np.asarray(particles.node_type)
+    M_ = nts.shape[1]
+    assert np.isfinite(np.asarray(particles.log_weights)).all(), \
+        "non-finite log weights"
+    assert np.isfinite(np.asarray(particles.lml)).all(), "non-finite LML"
+    assert (nts[:, 0] > 0).all(), "inactive root slot"
+    for s in range(1, M_):
+        par = (s - 1) // 2
+        is_op = np.isin(nts[:, par], list(C.OP_CODES))
+        assert ((nts[:, s] > 0) == is_op).all(), \
+            f"slot {s} active without operator parent"
+        bad_cp = (nts[:, s] == C.CHANGEPOINT) & \
+            (nts[:, par] != C.CHANGEPOINT)
+        assert not bad_cp.any(), "ChangePoint below a non-ChangePoint"
+
+
 def run_smc_anneal_data(
         key,
         ts: np.ndarray,
@@ -296,6 +316,7 @@ def run_smc_anneal_data(
         adaptive_resampling: bool = True,
         adaptive_rejuvenation: bool = False,
         verbose: bool = False,
+        check: bool = False,
         callback_fn: Optional[Callable] = None,
         dtype=None) -> Particles:
     """Anneal over data prefixes ts[perm][:step] for step in schedule."""
@@ -360,6 +381,11 @@ def run_smc_anneal_data(
             print("Particle Weights:", np.array2string(w, precision=3))
             print(f"Particle ESS: {ess / n_particles}")
             print(f"resampled {bool(stats['resampled'])}")
+            acc = np.asarray(stats["mh_accepted"])
+            print(f"accepted MCMC[{acc.sum()}/{n_particles * n_mcmc[i]}] "
+                  f"per-particle {acc.tolist()}")
+        if check:
+            validate_particles(particles, cfg)
         if callback_fn is not None:
             callback_fn(particles=particles, ts=ts, xs=xs,
                         permutation=permutation, schedule=schedule,

@@ -78,7 +78,7 @@ def make_log_dir(config, schedule):
     return log_dir
 
 
-def fn_callback(*, ds_test, y_test, log_dir, **kwargs):
+def fn_callback(*, ds_test, y_test, log_dir, plot=False, **kwargs):
     """Per-step logging callback (online.jl:30-114)."""
     model = kwargs["model"]
     ds_next = kwargs["ds_next"]
@@ -126,6 +126,39 @@ def fn_callback(*, ds_test, y_test, log_dir, **kwargs):
     predictions.to_csv(fname, index=False)
     print(fname, flush=True)
 
+    if plot:
+        _plot_step(model, predictions, ds_query, ds_next, y_next, ds_test,
+                   y_test, fname)
+
+
+def _plot_step(model, predictions, ds_query, ds_next, y_next, ds_test,
+               y_test, fname):
+    """Overlay plot of observed/future/test data + per-particle forecasts
+    (online.jl:80-114); saved as PNG next to the CSV (headless)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    order = np.argsort(ds_query)
+    weights = model.particle_weights()
+    fig, ax = plt.subplots()
+    ax.scatter(model.ds, model.y, marker="o", color="k", s=20,
+               label="Observed Data")
+    ax.scatter(ds_next, y_next, label="Training Data (Future)", marker="o",
+               s=20, alpha=.1, color="gray")
+    ax.scatter(ds_test, y_test, label="Test Data", marker="o", s=20,
+               color="r")
+    for i in range(1, model.num_particles + 1):
+        sub = predictions[predictions["particle"] == i]
+        sub = sub.set_index("ds").loc[ds_query[order]].reset_index()
+        ax.plot(sub["ds"], sub["y_mean"], linewidth=.5 * weights[i - 1],
+                color="k")
+        ax.fill_between(sub["ds"], sub["y_0.025"], sub["y_0.975"],
+                        color="tab:green", alpha=.05)
+    ax.legend(loc="upper left", fontsize=6)
+    fig.savefig(fname + ".png", dpi=100)
+    plt.close(fig)
+
 
 def main():
     config = {
@@ -147,6 +180,7 @@ def main():
         "N_FUTURE": env("N_FUTURE", 100, int),
         "BIASED": env("BIASED", False, bool),
         "CHANGEPOINTS": env("CHANGEPOINTS", False, bool),
+        "PLOT": env("PLOT", False, bool),
         "VERBOSE": env("VERBOSE", False, bool),
         "CHECK": env("CHECK", False, bool),
         "FREQ": env("FREQ", None, float),
@@ -185,7 +219,8 @@ def main():
             ds_test=np.concatenate([autogp_tpu.api.to_numeric(ds_test),
                                     ds_future]),
             y_test=np.concatenate([y_test, y_future]),
-            log_dir=log_dir)
+            log_dir=log_dir,
+            plot=config["PLOT"])
     else:
         callback_fn = None
 
