@@ -128,9 +128,10 @@ def rejuvenate_parameters(key, node_type, params_z, noise_z, lml_cached,
     particles whose structure move was accepted (smc_anneal_data.jl:99-105)
     while staying vmappable.
     """
-    def body(carry, k):
-        params_z, noise_z, lml, n_reject, n_accept, n_trial, alive = carry
-        k1, k2 = jax.random.split(k)
+    def body(carry):
+        (params_z, noise_z, lml, n_reject, n_accept, it, alive,
+         key) = carry
+        key, k1, k2 = jax.random.split(key, 3)
         p_new, lml_p, acc_p = hmc_params_step(
             k1, node_type, params_z, noise_z, lml, data, cfg, tables,
             hmc.eps_param, hmc.L_param)
@@ -143,19 +144,24 @@ def rejuvenate_parameters(key, node_type, params_z, noise_z, lml_cached,
             noise_z = jnp.where(alive, nz_new, noise_z)
             lml = jnp.where(alive, lml_n, lml)
         acc_eff = alive & acc_p
-        n_trial = n_trial + jnp.where(alive, 1, 0)
         n_accept = n_accept + jnp.where(acc_eff, 1, 0)
         n_reject = jnp.where(acc_eff, 0, n_reject + jnp.where(alive, 1, 0))
+        it = it + 1
         alive = alive & (n_reject < hmc.n_exit)
-        return (params_z, noise_z, lml, n_reject, n_accept, n_trial,
-                alive), None
+        return (params_z, noise_z, lml, n_reject, n_accept, it, alive, key)
 
-    init = (params_z, noise_z, lml_cached,
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32), jnp.asarray(enabled))
-    keys = jax.random.split(key, max(n_hmc, 1))
+    def cond(carry):
+        *_, it, alive, _key = carry
+        return alive & (it < n_hmc)
+
     if n_hmc == 0:
         return params_z, noise_z, lml_cached, jnp.asarray(0, jnp.int32)
-    (params_z, noise_z, lml, _, n_accept, _, _), _ = jax.lax.scan(
-        body, init, keys)
+    init = (params_z, noise_z, lml_cached,
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(enabled), key)
+    # while_loop instead of a masked scan: with n_exit small (fit_smc
+    # defaults n_exit=1) most particles stop after a few sweeps, and the
+    # batched loop only runs until the LAST live particle exits.
+    (params_z, noise_z, lml, _, n_accept, _, _, _) = jax.lax.while_loop(
+        cond, body, init)
     return params_z, noise_z, lml, n_accept

@@ -154,9 +154,12 @@ def _cov_kernel_1p(nt_ref, par_ref, noise_ref, tsc_ref, tsr_ref, mkc_ref,
 
     Metadata inputs carry a leading singleton dim — (1,M), (1,M,3),
     (1,1) — so that under vmap the blocks stay equal to the trailing
-    array dims (the Mosaic block-shape rule for SMEM operands)."""
+    array dims (the Mosaic block-shape rule for SMEM operands). The row
+    inputs (ts/mask) are passed un-blocked and sliced in-kernel so tile
+    shapes are unconstrained by the (1, tile) block rule."""
+    jo = pl.program_id(1) * tile_j
     t1 = tsc_ref[:, 0:1]
-    t2 = tsr_ref[0:1, :]
+    t2 = tsr_ref[0:1, pl.ds(jo, tile_j)]
     _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref,
                     sp_ref, depth_cap)
     K = stack_ref[0]
@@ -169,18 +172,24 @@ def _cov_kernel_1p(nt_ref, par_ref, noise_ref, tsc_ref, tsr_ref, mkc_ref,
     diag = (row == col).astype(K.dtype)
     K = K + noise_ref[0, 0] * diag
     if masked:
-        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, :]
+        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, pl.ds(jo, tile_j)]
         K = jnp.where(m2 > 0, K, diag)
     out_ref[:, :] = K
 
 
 def _pick_tile(N: int) -> int:
-    # 128 measured 3.8x faster than 256 at N=1024 on v5e (VMEM residency /
-    # pipelining); larger tiles also compile much slower.
     for t in (128, 64, 32, 16, 8):
         if N % t == 0:
             return t
     raise ValueError(f"N={N} not divisible by a supported tile size")
+
+
+def _pick_tiles(N: int):
+    """(tile_i, tile_j) for the forward kernel. Measured at N=1024 P=64 on
+    v5e: 128x256 -> 7.8ms, 128x128 -> 12.2ms, 256x256 -> 48.6ms."""
+    ti = _pick_tile(N)
+    tj = 256 if N % 256 == 0 else ti
+    return ti, tj
 
 
 def cov_matrix(node_type, params_t, noise, ts, mask, depth_cap: int,
@@ -194,13 +203,16 @@ def cov_matrix(node_type, params_t, noise, ts, mask, depth_cap: int,
     import functools as _ft
     M = node_type.shape[0]
     N = ts.shape[0]
-    tile = tile or _pick_tile(N)
+    if tile is not None:
+        ti = tj = tile
+    else:
+        ti, tj = _pick_tiles(N)
     dt = params_t.dtype
-    kernel = _ft.partial(_cov_kernel_1p, depth_cap=depth_cap, tile_i=tile,
-                         tile_j=tile, masked=masked)
+    kernel = _ft.partial(_cov_kernel_1p, depth_cap=depth_cap, tile_i=ti,
+                         tile_j=tj, masked=masked)
     return pl.pallas_call(
         kernel,
-        grid=(N // tile, N // tile),
+        grid=(N // ti, N // tj),
         in_specs=[
             pl.BlockSpec((1, M), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -208,20 +220,20 @@ def cov_matrix(node_type, params_t, noise, ts, mask, depth_cap: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((ti, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, j: (0, j),
+            pl.BlockSpec((1, N), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((ti, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, j: (0, j),
+            pl.BlockSpec((1, N), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((ti, tj), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, N), dt),
         scratch_shapes=[
-            pltpu.VMEM((depth_cap, tile, tile), dt),
+            pltpu.VMEM((depth_cap, ti, tj), dt),
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,

@@ -111,8 +111,11 @@ def _fwd_values(nt_ref, par, t1, t2, val_ref, depth_cap: int):
 def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
                 kbar_ref, pbar_ref, val_ref, adj_ref, acc_ref, *,
                 depth_cap: int, tile_i: int, tile_j: int, masked: bool):
+    # Row inputs (ts/mask) are passed un-blocked so tile_j can be < 128
+    # (a (1, tile) block is only legal when tile is a multiple of 128).
+    j_off = pl.program_id(1) * tile_j
     t1 = tsc_ref[:, 0:1]
-    t2 = tsr_ref[0:1, :]
+    t2 = tsr_ref[0:1, pl.ds(j_off, tile_j)]
     dt = t1 - t2
     adt = jnp.abs(dt)
     M = (1 << depth_cap) - 1
@@ -121,7 +124,7 @@ def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
 
     kbar = kbar_ref[:, :]
     if masked:
-        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, :]
+        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, pl.ds(j_off, tile_j)]
         kbar = kbar * m2
 
     i = pl.program_id(0)
@@ -193,48 +196,56 @@ def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
             _acc(acc_ref, s * C.MAX_PARAMS + 2, (
                 adj * (t1 - c) * (t2 - c)))
 
+        # Leaf gradients reuse the stored forward value: for the
+        # exponential-family leaves val = amp * e, so e = val/amp avoids
+        # recomputing the transcendental (the dominant backward cost).
         @pl.when(t == C.SQUARED_EXPONENTIAL)
         def _():
             l_ = par_ref[0, s, 0]
             amp = par_ref[0, s, 1]
-            e = jnp.exp((-0.5 / (l_ * l_)) * (dt * dt))
+            val = val_ref[s]
             adj = adj_ref[s]
             _acc(acc_ref, s * C.MAX_PARAMS, (
-                adj * amp * e * (dt * dt) / (l_ * l_ * l_)))
-            _acc(acc_ref, s * C.MAX_PARAMS + 1, (adj * e))
+                adj * val * (dt * dt) / (l_ * l_ * l_)))
+            _acc(acc_ref, s * C.MAX_PARAMS + 1, (adj * val / amp))
 
         @pl.when(t == C.GAMMA_EXPONENTIAL)
         def _():
             l_ = par_ref[0, s, 0]
             g = par_ref[0, s, 1]
             amp = par_ref[0, s, 2]
+            val = val_ref[s]
+            # u = (|dt|/l)^g == -log(val/amp); one log instead of exp+log.
+            e_safe = jnp.maximum(val / amp, 1e-38)
+            u = jnp.where(adt == 0, 0.0, -jnp.log(e_safe))
             safe = jnp.maximum(jnp.where(adt == 0, 1.0, adt / l_), 1e-30)
             logs = jnp.where(adt == 0, 0.0, jnp.log(safe))
-            u = jnp.where(adt == 0, 0.0, jnp.exp(g * jnp.log(safe)))
-            e = jnp.exp(-u)
             adj = adj_ref[s]
             _acc(acc_ref, s * C.MAX_PARAMS, (
-                adj * amp * e * g * u / l_))
+                adj * val * g * u / l_))
             _acc(acc_ref, s * C.MAX_PARAMS + 1, (
-                adj * amp * e * (-u) * logs))
-            _acc(acc_ref, s * C.MAX_PARAMS + 2, (adj * e))
+                adj * val * (-u) * logs))
+            _acc(acc_ref, s * C.MAX_PARAMS + 2, (adj * val / amp))
 
         @pl.when(t == C.PERIODIC)
         def _():
             l_ = par_ref[0, s, 0]
             p_ = par_ref[0, s, 1]
             amp = par_ref[0, s, 2]
+            val = val_ref[s]
+            # sn^2 = -(l^2/2) * log(val/amp); sn*cs = sin(2 freq adt)/2:
+            # one log + one sin instead of sin + cos + exp.
+            e_safe = jnp.maximum(val / amp, 1e-38)
+            sn2 = (-0.5 * l_ * l_) * jnp.log(e_safe)
             freq = math.pi / p_
-            sn = jnp.sin(freq * adt)
-            cs = jnp.cos(freq * adt)
-            e = jnp.exp((-2.0 / (l_ * l_)) * sn * sn)
+            sncs = 0.5 * jnp.sin(2.0 * freq * adt)
             adj = adj_ref[s]
             _acc(acc_ref, s * C.MAX_PARAMS, (
-                adj * amp * e * (4.0 * sn * sn) / (l_ * l_ * l_)))
+                adj * val * (4.0 * sn2) / (l_ * l_ * l_)))
             _acc(acc_ref, s * C.MAX_PARAMS + 1, (
-                adj * amp * e * (4.0 / (l_ * l_)) * sn * cs
+                adj * val * (4.0 / (l_ * l_)) * sncs
                 * (math.pi * adt / (p_ * p_))))
-            _acc(acc_ref, s * C.MAX_PARAMS + 2, (adj * e))
+            _acc(acc_ref, s * C.MAX_PARAMS + 2, (adj * val / amp))
 
     # Emit the accumulated gradients once, at the particle's last tile.
     @pl.when((i == pl.num_programs(0) - 1) & (j == pl.num_programs(1) - 1))
@@ -244,48 +255,60 @@ def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
 
 
 def _cov_grads(node_type, params_t, kbar, ts, mask, depth_cap: int,
-               masked: bool, tile: int = None, interpret: bool = False):
-    """Launch the gradient kernel; returns (params_bar [M,3], noise_bar)."""
+               masked: bool, tile: int = None, tile_i: int = None,
+               interpret: bool = False):
+    """Launch the gradient kernel; returns (params_bar [M,3], noise_bar).
+
+    Tiles are rectangular (tile_i x tile): the lane dimension must be a
+    multiple of 128 (or N), while the sublane dimension can shrink to keep
+    the two [M, tile_i, tile] value/adjoint buffers small."""
     M = node_type.shape[0]
     N = ts.shape[0]
     if tile is None:
         tile = cov_pallas._pick_tile(N)
-        # Two [M, tile, tile] scratch buffers must fit in VMEM.
-        while 2 * M * tile * tile * 4 > 10 * 2 ** 20 and tile > 8:
-            tile //= 2
+    if tile_i is None:
+        tile_i = tile
+        # Two [M, tile_i, tile] scratch buffers must stay ~2MB total:
+        # measured on v5e (N=1024, M=31): tile_i 128 -> 116ms (VMEM
+        # pressure), 64 -> 31ms, 32 -> 56ms (per-tile overhead).
+        while 2 * M * tile_i * tile * 4 > 2.2 * 2 ** 20 and tile_i > 8:
+            tile_i //= 2
     dt = params_t.dtype
     nI = N // tile
+    nIi = N // tile_i
     n_acc = M * C.MAX_PARAMS + 1   # param grads + noise grad
     kernel = functools.partial(_bwd_kernel, depth_cap=depth_cap,
-                               tile_i=tile, tile_j=tile, masked=masked)
+                               tile_i=tile_i, tile_j=tile, masked=masked)
     gout = pl.pallas_call(
         kernel,
-        grid=(nI, nI),
+        grid=(nIi, nI),
         in_specs=[
             pl.BlockSpec((1, M), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, M, C.MAX_PARAMS), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, j: (0, j),
+            pl.BlockSpec((1, N), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, j: (0, j),
+            pl.BlockSpec((1, N), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+            pl.BlockSpec((tile_i, tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n_acc), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_acc), dt),
         scratch_shapes=[
-            pltpu.VMEM((M, tile, tile), dt),
-            pltpu.VMEM((M, tile, tile), dt),
+            pltpu.VMEM((M, tile_i, tile), dt),
+            pltpu.VMEM((M, tile_i, tile), dt),
             pltpu.VMEM((n_acc, tile), dt),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
     )(node_type.astype(jnp.int32).reshape(1, M),
       params_t[None].astype(dt),
       ts.reshape(N, 1).astype(dt), ts.reshape(1, N).astype(dt),
