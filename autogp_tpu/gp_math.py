@@ -194,6 +194,15 @@ def masked_gram(K, mask):
     return jnp.where(m2 > 0, K, eye)
 
 
+def _chol(Km):
+    """Cholesky dispatch: the batched Pallas factorization on TPU under
+    vmap (ops/chol_pallas.py), XLA's otherwise. NOT reverse-mode
+    differentiable (custom_vmap) — use only where AD never traverses it
+    (inside custom_vjp rules)."""
+    from autogp_tpu.ops import chol_pallas
+    return chol_pallas.chol_psd(Km)
+
+
 def mvn_logpdf_masked(K, x, mask):
     """log N(x_active; 0, K_active) with static shapes.
 
@@ -207,6 +216,145 @@ def mvn_logpdf_masked(K, x, mask):
     alpha = jax.scipy.linalg.solve_triangular(L, x * mask, lower=True)
     quad = jnp.sum(alpha * alpha)
     return -0.5 * (n * LOG2PI + logdet + quad)
+
+
+def tri_inv_blocked(L, base: int = 16):
+    """Inverse of a lower-triangular matrix via recursive 2x2 blocking.
+
+    inv([[A, 0], [B, C]]) = [[inv(A), 0], [-inv(C) B inv(A), inv(C)]].
+    Built bottom-up: invert all [base,base] diagonal blocks by forward
+    substitution (the only sequential part), then combine pairs level by
+    level with batched matmuls — the N^3/3 FLOPs land on the MXU instead
+    of XLA's sequential triangular-solve loop. Supports leading batch
+    dims. N must be a power-of-two multiple of `base`.
+    """
+    *batch, N, _ = L.shape
+    Lb = L.reshape((-1, N, N))
+    P = Lb.shape[0]
+    dt = L.dtype
+    base = min(base, N)
+
+    # --- base: [P, N/base, base, base] diagonal blocks ---------------------
+    nb = N // base
+    blocks = _diag_blocks(Lb, base)                       # [P, nb, b, b]
+    inv = _tri_inv_base(blocks.reshape(P * nb, base, base))
+    inv = inv.reshape(P, nb, base, base)
+
+    # --- combine pairs: s -> 2s ---------------------------------------------
+    s = base
+    while s < N:
+        K2 = N // (2 * s)
+        A = inv[:, 0::2]                                   # [P, K2, s, s]
+        Cc = inv[:, 1::2]
+        # off-diagonal [s, s] block of each 2s diagonal block of L.
+        big = _diag_blocks(Lb, 2 * s)                      # [P, K2, 2s, 2s]
+        B = big[:, :, s:, :s]
+        X = -jnp.einsum("pkij,pkjl,pklm->pkim", Cc, B, A,
+                        preferred_element_type=dt)
+        top = jnp.concatenate([A, jnp.zeros_like(A)], axis=3)
+        bot = jnp.concatenate([X, Cc], axis=3)
+        inv = jnp.concatenate([top, bot], axis=2)          # [P, K2, 2s, 2s]
+        s *= 2
+    return inv.reshape(*batch, N, N)
+
+
+def _diag_blocks(Lb, s):
+    """[P, N/s, s, s] diagonal blocks of [P, N, N]."""
+    P, N, _ = Lb.shape
+    K = N // s
+    x = Lb.reshape(P, K, s, K, s)
+    # diagonal over block axes (1, 3) -> [P, s, s, K]
+    d = jnp.diagonal(x, axis1=1, axis2=3)
+    return jnp.moveaxis(d, -1, 1)
+
+
+def _tri_inv_base(A):
+    """Unrolled forward-substitution inverse of [B, n, n] lower-tri."""
+    B, n, _ = A.shape
+    rows = []
+    dinv = 1.0 / jnp.diagonal(A, axis1=1, axis2=2)        # [B, n]
+    for i in range(n):
+        if i == 0:
+            row = jnp.zeros((B, n), A.dtype).at[:, 0].set(dinv[:, 0])
+        else:
+            W = jnp.stack(rows, axis=1)                    # [B, i, n]
+            acc = jnp.einsum("bi,bin->bn", A[:, i, :i], W,
+                             preferred_element_type=A.dtype)
+            row = (-acc).at[:, i].add(1.0) * dinv[:, i:i + 1]
+            row = row * (jnp.arange(n) <= i)
+        rows.append(row)
+    return jnp.stack(rows, axis=1)
+
+
+@jax.custom_vjp
+def mvn_logpdf_masked_cvjp(K, x, mask):
+    """mvn_logpdf_masked with a closed-form VJP w.r.t. K.
+
+    Reverse-mode through Cholesky + triangular solve makes XLA emit a
+    chain of trsm/matmul programs; the analytic cotangent is simply
+      dl/dK = 0.5 * (beta beta^T - K^-1),  beta = K^-1 x
+    (masked to the active block). One cho_solve against the identity
+    replaces the whole autodiff chain. Semantics identical to
+    mvn_logpdf_masked (Model.jl:136 mvnormal logpdf).
+
+    The primal and fwd rule use the Pallas batched Cholesky on TPU
+    (safe here: custom_vjp shields both from AD). The fwd rule also
+    trades the sequential triangular solve for the blocked triangular
+    inverse, which the backward pass then reuses for K^-1.
+    """
+    Km = masked_gram(K, mask)
+    L = _chol(Km)
+    n = jnp.sum(mask)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+    alpha = jax.scipy.linalg.solve_triangular(L, x * mask, lower=True)
+    return -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
+
+
+def _use_blocked_inv(N: int) -> bool:
+    return N >= 64 and (N & (N - 1)) == 0
+
+
+def _mvn_logpdf_masked_fwd(K, x, mask):
+    Km = masked_gram(K, mask)
+    L = _chol(Km)
+    n = jnp.sum(mask)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+    xm = x * mask
+    N = L.shape[0]
+    if _use_blocked_inv(N):
+        # Blocked triangular inverse: alpha becomes a matvec here, and the
+        # backward pass reuses Linv for K^-1 = Linv^T Linv — all MXU work,
+        # no sequential triangular solves anywhere in the grad path.
+        Linv = tri_inv_blocked(L)
+        alpha = Linv @ xm
+        res = (Linv, alpha, mask)
+    else:
+        alpha = jax.scipy.linalg.solve_triangular(L, xm, lower=True)
+        res = (L, alpha, mask)
+    out = -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
+    return out, res
+
+
+def _mvn_logpdf_masked_bwd(res, g):
+    Lres, alpha, mask = res
+    N = Lres.shape[0]
+    if _use_blocked_inv(N):
+        Linv = Lres
+        beta = Linv.T @ alpha
+        Kinv = Linv.T @ Linv
+    else:
+        beta = jax.scipy.linalg.solve_triangular(Lres, alpha, lower=True,
+                                                 trans=1)
+        eye = jnp.eye(N, dtype=Lres.dtype)
+        Kinv = jax.scipy.linalg.cho_solve((Lres, True), eye)
+    m2 = mask[:, None] * mask[None, :]
+    Kbar = (0.5 * g) * (beta[:, None] * beta[None, :] - Kinv) * m2
+    xbar = (-g) * beta
+    return Kbar, xbar, jnp.zeros_like(mask)
+
+
+mvn_logpdf_masked_cvjp.defvjp(_mvn_logpdf_masked_fwd,
+                              _mvn_logpdf_masked_bwd)
 
 
 def mvn_logpdf(mu, K, x):

@@ -271,7 +271,7 @@ def lml(node_type, params_z, noise_z, ts, xs, mask, config: C.GPConfig,
         from autogp_tpu.ops import cov_pallas_vjp
         K = cov_pallas_vjp.cov_matrix_diff(node_type, params_t, noise, ts,
                                            mask, tables.depth_cap)
-        return gp_math.mvn_logpdf_masked(K, xs, mask)
+        return gp_math.mvn_logpdf_masked_cvjp(K, xs, mask)
     return gp_math.lml_masked(node_type, params_t, noise, ts, xs, mask,
                               tables.depth_cap)
 

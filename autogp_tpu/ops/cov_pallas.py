@@ -120,6 +120,204 @@ def _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref, sp_ref,
             sp_ref[0] = sp - 1
 
 
+# ---------------------------------------------------------------------------
+# Compacted instruction tape
+# ---------------------------------------------------------------------------
+#
+# The per-slot kernels above issue ~9 predicated regions for every one of
+# the M = 2^D - 1 heap slots per tile, but typical trees have only ~5-9
+# active nodes — the kernels are branch-overhead bound, not math bound.
+# The tape variants compact the active slots into a post-order instruction
+# list (XLA-side, per particle) and run a *dynamic-length* fori_loop over
+# just those instructions inside the kernel.
+
+def build_tape(node_type, depth_cap: int):
+    """Post-order instruction tape of the active slots.
+
+    Returns (tape_slot [M] int32, tape_type [M] int32, tape_lpos [M],
+    tape_rpos [M], length [] int32). Entries >= length are no-ops
+    (type 0). lpos/rpos are the *tape positions* of a slot's children
+    (-1 for leaves), used by the backward kernel. vmap/jit friendly.
+    """
+    M = (1 << depth_cap) - 1
+    po = jnp.asarray(np.asarray(gp_math.postorder(depth_cap),
+                                dtype=np.int32))
+    act = node_type[po] > 0
+    pos = jnp.cumsum(act.astype(jnp.int32)) - 1
+    length = jnp.sum(act.astype(jnp.int32))
+    dest = jnp.where(act, pos, M)
+    tape_slot = jnp.zeros((M,), jnp.int32).at[dest].set(po, mode="drop")
+    valid = jnp.arange(M, dtype=jnp.int32) < length
+    tape_type = jnp.where(valid, node_type[tape_slot].astype(jnp.int32), 0)
+    # tape position of each slot (undefined for inactive slots).
+    pos_of_slot = jnp.zeros((M,), jnp.int32).at[po].set(pos)
+    lslot = np.minimum(2 * np.arange(M) + 1, M - 1)
+    rslot = np.minimum(2 * np.arange(M) + 2, M - 1)
+    has_child = np.asarray(2 * np.arange(M) + 1 < M)
+    lpos_by_slot = jnp.where(jnp.asarray(has_child),
+                             pos_of_slot[jnp.asarray(lslot)], -1)
+    rpos_by_slot = jnp.where(jnp.asarray(has_child),
+                             pos_of_slot[jnp.asarray(rslot)], -1)
+    tape_lpos = jnp.where(valid, lpos_by_slot[tape_slot], -1)
+    tape_rpos = jnp.where(valid, rpos_by_slot[tape_slot], -1)
+    return tape_slot, tape_type, tape_lpos, tape_rpos, length
+
+
+def _tree_eval_tape(tslot_ref, ttype_ref, tlen_ref, par_ref, t1, t2,
+                    stack_ref):
+    """Tape-driven tile evaluation: dynamic fori_loop over the active
+    instructions only. Leaves push one tile; operators pop two, push one.
+    Result lands in stack_ref[0]."""
+    dt = t1 - t2
+    adt = jnp.abs(dt)
+
+    def body(i, sp):
+        t = ttype_ref[0, i]
+        s = tslot_ref[0, i]
+
+        @pl.when(t == C.CONSTANT)
+        def _():
+            stack_ref[sp] = par_ref[0, s, 0] + jnp.zeros_like(dt)
+
+        @pl.when(t == C.WHITE_NOISE)
+        def _():
+            stack_ref[sp] = jnp.where(dt == 0, par_ref[0, s, 0], 0.0)
+
+        @pl.when(t == C.LINEAR)
+        def _():
+            c = par_ref[0, s, 0]
+            stack_ref[sp] = par_ref[0, s, 1] + par_ref[0, s, 2] * (
+                (t1 - c) * (t2 - c))
+
+        @pl.when(t == C.SQUARED_EXPONENTIAL)
+        def _():
+            l = par_ref[0, s, 0]
+            stack_ref[sp] = par_ref[0, s, 1] * jnp.exp(
+                (-0.5 / (l * l)) * (dt * dt))
+
+        @pl.when(t == C.GAMMA_EXPONENTIAL)
+        def _():
+            l = par_ref[0, s, 0]
+            g = par_ref[0, s, 1]
+            safe = jnp.maximum(jnp.where(adt == 0, 1.0, adt / l), 1e-30)
+            powg = jnp.where(adt == 0, 0.0, jnp.exp(g * jnp.log(safe)))
+            stack_ref[sp] = par_ref[0, s, 2] * jnp.exp(-powg)
+
+        @pl.when(t == C.PERIODIC)
+        def _():
+            l = par_ref[0, s, 0]
+            freq = math.pi / par_ref[0, s, 1]
+            sn = jnp.sin(freq * adt)
+            stack_ref[sp] = par_ref[0, s, 2] * jnp.exp(
+                (-2.0 / (l * l)) * sn * sn)
+
+        @pl.when(t == C.PLUS)
+        def _():
+            stack_ref[sp - 2] = stack_ref[sp - 2] + stack_ref[sp - 1]
+
+        @pl.when(t == C.TIMES)
+        def _():
+            stack_ref[sp - 2] = stack_ref[sp - 2] * stack_ref[sp - 1]
+
+        @pl.when(t == C.CHANGEPOINT)
+        def _():
+            loc = par_ref[0, s, 0]
+            inv = 2.0 / C.CHANGEPOINT_SCALE
+            s1 = jax.nn.sigmoid((loc - t1) * inv)
+            s2 = jax.nn.sigmoid((loc - t2) * inv)
+            left = stack_ref[sp - 2]
+            right = stack_ref[sp - 1]
+            stack_ref[sp - 2] = (s1 * left * s2
+                                 + (1.0 - s1) * right * (1.0 - s2))
+
+        is_op = (t >= C.PLUS) & (t <= C.CHANGEPOINT)
+        return sp + jnp.where(is_op, -1, 1)
+
+    jax.lax.fori_loop(0, tlen_ref[0, 0], body, 0)
+
+
+def _cov_kernel_tape_1p(tslot_ref, ttype_ref, tlen_ref, par_ref, noise_ref,
+                        tsc_ref, tsr_ref, mkc_ref, mkr_ref, out_ref,
+                        stack_ref, *, tile_i: int, tile_j: int,
+                        masked: bool):
+    """Tape-driven single-particle assembly (grid (I, J); vmap batches)."""
+    jo = pl.program_id(1) * tile_j
+    t1 = tsc_ref[:, 0:1]
+    t2 = tsr_ref[0:1, pl.ds(jo, tile_j)]
+    _tree_eval_tape(tslot_ref, ttype_ref, tlen_ref, par_ref, t1, t2,
+                    stack_ref)
+    K = stack_ref[0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+           + i * tile_i)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+           + j * tile_j)
+    diag = (row == col).astype(K.dtype)
+    K = K + noise_ref[0, 0] * diag
+    if masked:
+        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, pl.ds(jo, tile_j)]
+        K = jnp.where(m2 > 0, K, diag)
+    out_ref[:, :] = K
+
+
+def cov_matrix_tape(node_type, params_t, noise, ts, mask, depth_cap: int,
+                    masked: bool = True, tile: int = None,
+                    interpret: bool = False):
+    """Single-particle fused assembly via the compacted instruction tape."""
+    M = node_type.shape[0]
+    N = ts.shape[0]
+    if tile is not None:
+        ti = tj = tile
+    else:
+        ti, tj = _pick_tiles(N)
+    dt = params_t.dtype
+    tslot, ttype, _, _, tlen = build_tape(node_type, depth_cap)
+    kernel = functools.partial(_cov_kernel_tape_1p, tile_i=ti, tile_j=tj,
+                               masked=masked)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // ti, N // tj),
+        in_specs=[
+            pl.BlockSpec((1, M), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M, C.MAX_PARAMS), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ti, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ti, tj), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, N), dt),
+        scratch_shapes=[
+            pltpu.VMEM((depth_cap, ti, tj), dt),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=N * N * 12 * depth_cap,
+            bytes_accessed=N * N * np.dtype(dt).itemsize,
+            transcendentals=N * N * 2 * depth_cap,
+        ),
+    )(tslot.reshape(1, M), ttype.reshape(1, M),
+      tlen.astype(jnp.int32).reshape(1, 1),
+      params_t.astype(dt).reshape(1, M, C.MAX_PARAMS),
+      jnp.asarray(noise, dt).reshape(1, 1), ts.reshape(N, 1).astype(dt),
+      ts.reshape(1, N).astype(dt), mask.reshape(N, 1).astype(dt),
+      mask.reshape(1, N).astype(dt))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("depth_cap", "masked", "tile", "interpret"))

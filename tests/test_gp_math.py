@@ -128,6 +128,51 @@ def test_masked_lml_matches_scipy():
     assert float(got0) == 0.0
 
 
+@pytest.mark.parametrize("n,base", [(16, 16), (64, 16), (128, 8),
+                                    (256, 16)])
+def test_tri_inv_blocked(n, base):
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((3, n, n))
+    L = np.linalg.cholesky(A @ np.swapaxes(A, 1, 2) + n * np.eye(n))
+    W = np.asarray(gp_math.tri_inv_blocked(jnp.asarray(L), base=base))
+    np.testing.assert_allclose(W, np.linalg.inv(L), rtol=1e-9, atol=1e-10)
+    # strictly lower-triangular output
+    assert np.allclose(np.triu(W, 1), 0.0)
+
+
+@pytest.mark.parametrize("n,pad", [(19, 24), (100, 128)])
+def test_mvn_logpdf_custom_vjp_matches_autodiff(n, pad):
+    """Closed-form VJP (beta beta^T - K^-1)/2 vs XLA autodiff through
+    Cholesky + triangular solve, incl. masked padding. pad=128 exercises
+    the blocked-triangular-inverse branch; pad=24 the cho_solve branch."""
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((n, n))
+    Kact = A @ A.T + 0.5 * np.eye(n)
+    Kmat = np.zeros((pad, pad))
+    Kmat[:n, :n] = Kact
+    Kmat += rng.standard_normal((pad, pad)) * 1e-12  # junk in padding
+    xs = np.zeros(pad)
+    xs[:n] = rng.standard_normal(n)
+    mask = np.zeros(pad)
+    mask[:n] = 1.0
+    Kj, xj, mj = jnp.asarray(Kmat), jnp.asarray(xs), jnp.asarray(mask)
+
+    v0 = gp_math.mvn_logpdf_masked(Kj, xj, mj)
+    v1 = gp_math.mvn_logpdf_masked_cvjp(Kj, xj, mj)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-12)
+
+    g0 = jax.grad(gp_math.mvn_logpdf_masked, argnums=(0, 1))(Kj, xj, mj)
+    g1 = jax.grad(gp_math.mvn_logpdf_masked_cvjp, argnums=(0, 1))(Kj, xj, mj)
+    # Autodiff through cholesky concentrates dK in the lower triangle;
+    # the closed form is symmetric. Compare symmetrized (equal when
+    # contracted against any symmetric dK/dtheta).
+    sym0 = np.asarray(g0[0] + g0[0].T)
+    sym1 = np.asarray(g1[0] + g1[0].T)
+    np.testing.assert_allclose(sym0, sym1, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]),
+                               rtol=1e-8, atol=1e-12)
+
+
 def test_posterior_mvn_matches_reference_formula():
     """Schur-complement conditional (GP.jl:731-758) vs direct computation."""
     rng = np.random.default_rng(1)

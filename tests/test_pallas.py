@@ -69,11 +69,91 @@ def test_cov_pallas_matches_xla(masked):
                                    err_msg=str(nodes[i]))
 
 
+def test_build_tape():
+    """Tape = post-order walk of active slots with children positions."""
+    import jax.numpy as jnp
+    node = cases()[4]  # ChangePoint(Linear*Periodic, GammaExp)
+    nt, _ = tree.node_to_tensor(node, CFG)
+    tslot, ttype, lpos, rpos, n = cov_pallas.build_tape(
+        jnp.asarray(nt), CFG.depth_cap)
+    tslot, ttype, lpos, rpos = map(np.asarray, (tslot, ttype, lpos, rpos))
+    n = int(n)
+    assert n == int((nt > 0).sum())
+    # last instruction is the root; tape order is a valid post-order.
+    assert tslot[n - 1] == 0
+    assert (ttype[:n] == nt[tslot[:n]]).all()
+    assert (ttype[n:] == 0).all()
+    for i in range(n):
+        s = tslot[i]
+        t = ttype[i]
+        if t in (C.PLUS, C.TIMES, C.CHANGEPOINT):
+            assert tslot[lpos[i]] == 2 * s + 1
+            assert tslot[rpos[i]] == 2 * s + 2
+            assert lpos[i] < i and rpos[i] < i
+        else:
+            pass  # leaf lpos/rpos refer to inactive slots; unused
+
+
+@pytest.mark.parametrize("masked", [True, False])
+def test_cov_pallas_tape_matches_xla(masked):
+    n, pad = 50, 64
+    ts = np.zeros(pad)
+    ts[:n] = np.linspace(0.0, 1.0, n)
+    mask = np.zeros(pad)
+    mask[:n] = 1.0
+    noise = 0.37
+
+    nodes = cases()
+    for node in nodes:
+        nt, pz = tree.node_to_tensor(node, CFG)
+        nt = jnp.asarray(nt)
+        pt = model.transform_params(nt, jnp.asarray(pz), TAB.ttable)
+        got = cov_pallas.cov_matrix_tape(
+            nt, pt, noise, jnp.asarray(ts), jnp.asarray(mask),
+            CFG.depth_cap, masked=masked, tile=32, interpret=True)
+        Kx = gp_math.eval_cov(nt, pt, jnp.asarray(ts), jnp.asarray(ts),
+                              CFG.depth_cap)
+        Kx = Kx + noise * jnp.eye(pad)
+        if masked:
+            Kx = gp_math.masked_gram(Kx, jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(Kx),
+                                   rtol=1e-6, atol=1e-8, err_msg=str(node))
+
+
+@pytest.mark.parametrize("N", [128, 256])
+def test_chol_pallas_matches_lapack(N):
+    from autogp_tpu.ops import chol_pallas
+    rng = np.random.default_rng(0)
+    P = 4
+    A = rng.standard_normal((P, N, N))
+    K = A @ np.swapaxes(A, 1, 2) + N * np.eye(N)
+    L = np.asarray(chol_pallas.cholesky_batched(jnp.asarray(K),
+                                                interpret=True))
+    want = np.linalg.cholesky(K)
+    np.testing.assert_allclose(L, want, rtol=1e-9, atol=1e-9)
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_chol_pallas_masked_gram():
+    """Identity-padded (masked) gram stays block-diagonal under chol."""
+    from autogp_tpu.ops import chol_pallas
+    rng = np.random.default_rng(1)
+    n, pad = 100, 128
+    A = rng.standard_normal((2, n, n))
+    K = np.tile(np.eye(pad), (2, 1, 1))
+    K[:, :n, :n] = A @ np.swapaxes(A, 1, 2) + n * np.eye(n)
+    L = np.asarray(chol_pallas.cholesky_batched(jnp.asarray(K),
+                                                interpret=True))
+    np.testing.assert_allclose(L, np.linalg.cholesky(K), rtol=1e-9,
+                               atol=1e-9)
+
+
 GRAD_CASES = [cases()[1], cases()[4], cases()[5]]
 
 
+@pytest.mark.parametrize("tape", [False, True], ids=["slots", "tape"])
 @pytest.mark.parametrize("node", GRAD_CASES, ids=lambda n: K.pretty(n)[:40])
-def test_cov_pallas_vjp_matches_xla_grads(node):
+def test_cov_pallas_vjp_matches_xla_grads(node, tape):
     """Custom-VJP kernel gradients == XLA autodiff gradients (z-space)."""
     import jax.numpy as jnp
     from autogp_tpu import model as M
@@ -99,7 +179,8 @@ def test_cov_pallas_vjp_matches_xla_grads(node):
     def lml_pal(z, nz):
         pt = M.transform_params(nt, z, TAB.ttable)
         Kp = cov_pallas_vjp.cov_matrix_diff(nt, pt, nz, ts_j, mask_j,
-                                            CFG.depth_cap, interpret=True)
+                                            CFG.depth_cap, interpret=True,
+                                            tape=tape)
         return gp_math.mvn_logpdf_masked(Kp, xs_j, mask_j)
 
     vx, gx = jax.value_and_grad(lml_xla, argnums=(0, 1))(
