@@ -246,11 +246,16 @@ def tri_inv_blocked(L, base: int = 16):
         K2 = N // (2 * s)
         A = inv[:, 0::2]                                   # [P, K2, s, s]
         Cc = inv[:, 1::2]
-        # off-diagonal [s, s] block of each 2s diagonal block of L.
-        big = _diag_blocks(Lb, 2 * s)                      # [P, K2, 2s, 2s]
-        B = big[:, :, s:, :s]
+        # off-diagonal [s, s] block of each 2s diagonal block of L,
+        # via STATIC slices (XLA lowers these to cheap copies; the
+        # previous jnp.diagonal formulation was a generic gather over
+        # the full matrix at every level).
+        B = jnp.stack([Lb[:, (2 * k + 1) * s:(2 * k + 2) * s,
+                          2 * k * s:(2 * k + 1) * s]
+                       for k in range(K2)], axis=1)        # [P, K2, s, s]
         X = -jnp.einsum("pkij,pkjl,pklm->pkim", Cc, B, A,
-                        preferred_element_type=dt)
+                        preferred_element_type=dt,
+                        precision=jax.lax.Precision.HIGHEST)
         top = jnp.concatenate([A, jnp.zeros_like(A)], axis=3)
         bot = jnp.concatenate([X, Cc], axis=3)
         inv = jnp.concatenate([top, bot], axis=2)          # [P, K2, 2s, 2s]
@@ -259,13 +264,11 @@ def tri_inv_blocked(L, base: int = 16):
 
 
 def _diag_blocks(Lb, s):
-    """[P, N/s, s, s] diagonal blocks of [P, N, N]."""
+    """[P, N/s, s, s] diagonal blocks of [P, N, N] (static slices)."""
     P, N, _ = Lb.shape
     K = N // s
-    x = Lb.reshape(P, K, s, K, s)
-    # diagonal over block axes (1, 3) -> [P, s, s, K]
-    d = jnp.diagonal(x, axis1=1, axis2=3)
-    return jnp.moveaxis(d, -1, 1)
+    return jnp.stack([Lb[:, k * s:(k + 1) * s, k * s:(k + 1) * s]
+                      for k in range(K)], axis=1)
 
 
 def _tri_inv_base(A):
@@ -279,7 +282,8 @@ def _tri_inv_base(A):
         else:
             W = jnp.stack(rows, axis=1)                    # [B, i, n]
             acc = jnp.einsum("bi,bin->bn", A[:, i, :i], W,
-                             preferred_element_type=A.dtype)
+                             preferred_element_type=A.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
             row = (-acc).at[:, i].add(1.0) * dinv[:, i:i + 1]
             row = row * (jnp.arange(n) <= i)
         rows.append(row)
