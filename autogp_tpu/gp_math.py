@@ -310,12 +310,40 @@ def mvn_logpdf_masked_cvjp(K, x, mask):
     L = _chol(Km)
     n = jnp.sum(mask)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
-    alpha = jax.scipy.linalg.solve_triangular(L, x * mask, lower=True)
+    alpha = solve_lower_blocked(L, x * mask)
     return -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
 
 
 def _use_blocked_inv(N: int) -> bool:
     return N >= 64 and (N & (N - 1)) == 0
+
+
+def solve_lower_blocked(L, x, block: int = 128):
+    """L^-1 x via block forward substitution with pre-inverted diagonal
+    blocks.
+
+    XLA's triangular_solve with one RHS is a latency-bound sequential
+    substitution over all N rows (~9 ms at [64,1024,1024] on v5e), and
+    even [128,128] trsms stay latency-bound. Instead the nb diagonal
+    blocks are inverted up-front in one BATCHED blocked tri-inverse
+    (parallel MXU work), leaving only nb sequential matvecs. Falls back
+    to the plain solve when N doesn't divide into blocks.
+    """
+    N = L.shape[0]
+    if N % block != 0 or N <= block:
+        return jax.scipy.linalg.solve_triangular(L, x, lower=True)
+    nb = N // block
+    D = jnp.stack([L[k * block:(k + 1) * block, k * block:(k + 1) * block]
+                   for k in range(nb)])                   # [nb, b, b]
+    Wd = tri_inv_blocked(D)
+    alpha = jnp.zeros_like(x)
+    for k in range(nb):
+        lo, hi = k * block, (k + 1) * block
+        rhs = x[lo:hi]
+        if k > 0:
+            rhs = rhs - L[lo:hi, :lo] @ alpha[:lo]
+        alpha = alpha.at[lo:hi].set(Wd[k] @ rhs)
+    return alpha
 
 
 def _mvn_logpdf_masked_fwd(K, x, mask):

@@ -55,6 +55,7 @@ def _panel_kernel(in_ref, out_ref, sem, *, B: int, W: int, m: int,
     dma.start()
     dma.wait()
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+    laneB = jax.lax.broadcasted_iota(jnp.int32, (1, 1, B), 2)
     SB = B // W
 
     for sb in range(SB):
@@ -64,12 +65,15 @@ def _panel_kernel(in_ref, out_ref, sem, *, B: int, W: int, m: int,
         def step(j, _, off=off, subrow=subrow):
             gj = off + j
             col = out_ref[:, pl.ds(gj, 1), :]                 # [pp,1,m]
-            pivot = jnp.sum(jnp.where(lane == gj, col, 0.0),
+            # the diagonal element sits in the first B lanes; reduce there.
+            pivot = jnp.sum(jnp.where(laneB == gj, col[:, :, :B], 0.0),
                             axis=2, keepdims=True)            # [pp,1,1]
             col = jnp.where(lane >= gj, col / jnp.sqrt(pivot), 0.0)
             out_ref[:, pl.ds(gj, 1), :] = col
             # rank-1 update of the remaining columns in this sub-panel:
             # X[:, i, :] -= L[i, gj] * col  for i in (gj, off+W).
+            # (a rank-2 variant with a K=2 MXU dot measured 1.8x SLOWER —
+            # tiny-contraction dots are latency-bound on the MXU.)
             cS = jnp.swapaxes(col[:, :, off:off + W], 1, 2)   # [pp,W,1]
             blk = out_ref[:, off:off + W, :]
             upd = jnp.where(subrow > j, cS * col, 0.0)
@@ -99,12 +103,12 @@ def _pick_pp(P: int, B: int, m: int, budget_bytes=9 * 2 ** 20) -> int:
     return pp
 
 
-def _panel_factor(panel_t, interpret: bool = False):
+def _panel_factor(panel_t, interpret: bool = False, subw: int = None):
     """Factor a batch of transposed panels [P, B, m] -> [P, B, m]."""
     P, B, m = panel_t.shape
     pp = _pick_pp(P, B, m)
-    kernel = functools.partial(_panel_kernel, B=B, W=min(SUBW, B), m=m,
-                               pp=pp)
+    kernel = functools.partial(_panel_kernel, B=B,
+                               W=min(subw or SUBW, B), m=m, pp=pp)
     return pl.pallas_call(
         kernel,
         grid=(P // pp,),
@@ -122,7 +126,8 @@ def _panel_factor(panel_t, interpret: bool = False):
     )(panel_t)
 
 
-def cholesky_batched(K, block: int = BLOCK, interpret: bool = False):
+def cholesky_batched(K, block: int = BLOCK, interpret: bool = False,
+                     subw: int = None):
     """Lower-Cholesky of a batch [P, N, N] of SPD matrices.
 
     N must be a multiple of `block`. Reads only the lower triangle.
@@ -136,7 +141,7 @@ def cholesky_batched(K, block: int = BLOCK, interpret: bool = False):
         r0 = k * block
         m = N - r0
         panel_t = jnp.swapaxes(A[:, :, :block], 1, 2)     # [P, B, m]
-        Lp_t = _panel_factor(panel_t, interpret=interpret)
+        Lp_t = _panel_factor(panel_t, interpret=interpret, subw=subw)
         Lp = jnp.swapaxes(Lp_t, 1, 2)                     # [P, m, B]
         cols.append(jnp.concatenate(
             [jnp.zeros((P, r0, block), K.dtype), Lp], axis=1))

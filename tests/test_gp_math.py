@@ -140,6 +140,18 @@ def test_tri_inv_blocked(n, base):
     assert np.allclose(np.triu(W, 1), 0.0)
 
 
+@pytest.mark.parametrize("n", [96, 128, 256])
+def test_solve_lower_blocked(n):
+    rng = np.random.default_rng(4)
+    A = rng.standard_normal((n, n))
+    L = np.linalg.cholesky(A @ A.T + n * np.eye(n))
+    x = rng.standard_normal(n)
+    got = np.asarray(gp_math.solve_lower_blocked(jnp.asarray(L),
+                                                 jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.linalg.solve(L, x), rtol=1e-9,
+                               atol=1e-10)
+
+
 @pytest.mark.parametrize("n,pad", [(19, 24), (100, 128)])
 def test_mvn_logpdf_custom_vjp_matches_autodiff(n, pad):
     """Closed-form VJP (beta beta^T - K^-1)/2 vs XLA autodiff through
