@@ -88,27 +88,33 @@ def hmc_noise_step(key, node_type, params_z, noise_z, lml_cached, data,
     ts, xs, mask = data
     pmask = T.param_mask(node_type).astype(params_z.dtype)
 
-    def U(nz):
-        lp, lml = _joint_logp(node_type, params_z, nz, ts, xs, mask, cfg,
-                              tables, pmask)
-        return -lp, lml
+    lp_params = jnp.sum(M.normal_logpdf(params_z) * pmask)
+
+    def U_vg(nz):
+        """((U, lml), dU/dnz) via the analytic noise gradient — the
+        scalar-gradient leapfrog skips the assembly-backward kernel."""
+        lml, glml = M.lml_value_and_noise_grad(
+            node_type, params_z, nz, ts, xs, mask, cfg, tables)
+        u = -(lp_params + M.normal_logpdf(nz) + lml)
+        gu = -(-nz + glml)
+        return (u, lml), gu
 
     k_mom, k_acc = jax.random.split(key)
     mom0 = jax.random.normal(k_mom, (), noise_z.dtype)
 
-    (u0, _), g = jax.value_and_grad(U, has_aux=True)(noise_z)
+    (u0, _), g = U_vg(noise_z)
 
     def leapfrog(carry, _):
         q, p, g = carry
         p = p - 0.5 * eps * g
         q = q + eps * p
-        (_, _), g_new = jax.value_and_grad(U, has_aux=True)(q)
+        (_, _), g_new = U_vg(q)
         p = p - 0.5 * eps * g_new
         return (q, p, g_new), None
 
     (q_new, p_new, _), _ = jax.lax.scan(leapfrog, (noise_z, mom0, g),
                                         None, length=L)
-    (u1, lml1) = U(q_new)
+    (u1, lml1), _ = U_vg(q_new)
     dh = (u1 - u0) + 0.5 * (p_new * p_new - mom0 * mom0)
     accept = (jnp.log(jax.random.uniform(k_acc)) < -dh) & jnp.isfinite(dh)
     return (jnp.where(accept, q_new, noise_z),

@@ -276,6 +276,58 @@ def lml(node_type, params_z, noise_z, ts, xs, mask, config: C.GPConfig,
                               tables.depth_cap)
 
 
+def lml_value_and_noise_grad(node_type, params_z, noise_z, ts, xs, mask,
+                             config: C.GPConfig, tables: PriorTables,
+                             pallas=None):
+    """(lml, d lml / d noise_z) without reverse-mode AD.
+
+    The noise-HMC leapfrog (inference_smc_anneal_data.jl:66) only needs
+    the scalar noise gradient, but reverse mode through the covariance
+    pays the full assembly-backward kernel. Analytically, with
+    Km = K + noise*I (masked):
+        d lml/d noise = -1/2 (tr_active(Km^-1) - beta^T beta),
+        beta = Km^-1 x,   tr_active(Km^-1) = ||Linv||_F^2 - (N - n)
+    (padded columns of Linv are unit basis vectors), then the chain rule
+    through the log-normal noise transform. Falls back to autodiff when
+    the blocked inverse isn't applicable.
+    """
+    N = ts.shape[0]
+    if pallas is None:
+        from autogp_tpu import backend
+        pallas = backend.use_pallas()
+    if not gp_math._use_blocked_inv(N):
+        return jax.value_and_grad(
+            lambda z: lml(node_type, params_z, z, ts, xs, mask, config,
+                          tables, pallas=pallas))(noise_z)
+
+    params_t = transform_params(node_type, params_z, tables.ttable)
+    noise = transform_noise(noise_z, config)
+    if pallas:
+        from autogp_tpu.ops import cov_pallas
+        K = cov_pallas.cov_matrix_tape(node_type, params_t, noise, ts,
+                                       mask, tables.depth_cap)
+        Km = K  # masked assembly already produces the padded-identity gram
+    else:
+        K = gp_math.eval_cov(node_type, params_t, ts, ts, tables.depth_cap)
+        K = 0.5 * (K + K.T)
+        K = K + noise * jnp.eye(N, dtype=K.dtype)
+        Km = gp_math.masked_gram(K, mask)
+    L = gp_math._chol(Km)
+    Linv = gp_math.tri_inv_blocked(L)
+    xm = xs * mask
+    alpha = Linv @ xm
+    n = jnp.sum(mask)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+    val = -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
+    beta = Linv.T @ alpha
+    tr_active = jnp.sum(Linv * Linv) - (N - n)
+    dlml_dnoise = -0.5 * (tr_active - jnp.sum(beta * beta))
+    # d noise / d noise_z: log-normal transform + constant jitter.
+    p = config.prior["wildcard"]
+    dnoise_dz = p["sigma"] * (noise - C.MODEL_JITTER)
+    return val, dlml_dnoise * dnoise_dz
+
+
 def joint_score(node_type, params_z, noise_z, ts, xs, mask,
                 config: C.GPConfig, tables: PriorTables):
     """log p(tree, noise, xs) — the Gen trace score."""

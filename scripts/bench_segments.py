@@ -175,6 +175,10 @@ def main():
         nt1, pz1, nz1, data.ts, data.xs, data.mask, cfg, tables)))
     timed("LML fwd (pallas)", fwd, nt, pz, nz)
 
+    ng = jax.jit(jax.vmap(lambda nt1, pz1, nz1: M.lml_value_and_noise_grad(
+        nt1, pz1, nz1, data.ts, data.xs, data.mask, cfg, tables)))
+    timed("LML + noise grad (analytic)", ng, nt, pz, nz)
+
 
 if __name__ == "__main__":
     main()

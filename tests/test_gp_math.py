@@ -185,6 +185,30 @@ def test_mvn_logpdf_custom_vjp_matches_autodiff(n, pad):
                                rtol=1e-8, atol=1e-12)
 
 
+def test_lml_noise_grad_analytic_matches_autodiff():
+    """lml_value_and_noise_grad == jax.grad through the full LML, on the
+    power-of-two (blocked-inverse) path."""
+    node = K.Linear(0.3, 1.1, 0.9) + K.Periodic(0.7, 0.4, 1.3)
+    nt, pz = tree.node_to_tensor(node, CFG)
+    nt, pz = jnp.asarray(nt), jnp.asarray(pz)
+    tables = model.prior_tables(CFG)
+    rng = np.random.default_rng(5)
+    n, pad = 100, 128
+    ts = np.zeros(pad); ts[:n] = np.linspace(0, 1, n)
+    xs = np.zeros(pad); xs[:n] = np.sin(np.linspace(0, 9, n))
+    mask = np.zeros(pad); mask[:n] = 1.0
+    ts, xs, mask = map(jnp.asarray, (ts, xs, mask))
+    nz = jnp.asarray(0.37)
+
+    val_a, g_a = model.lml_value_and_noise_grad(nt, pz, nz, ts, xs, mask,
+                                                CFG, tables, pallas=False)
+    val_b, g_b = jax.value_and_grad(
+        lambda z: model.lml(nt, pz, z, ts, xs, mask, CFG, tables,
+                            pallas=False))(nz)
+    np.testing.assert_allclose(float(val_a), float(val_b), rtol=1e-10)
+    np.testing.assert_allclose(float(g_a), float(g_b), rtol=1e-8)
+
+
 def test_posterior_mvn_matches_reference_formula():
     """Schur-complement conditional (GP.jl:731-758) vs direct computation."""
     rng = np.random.default_rng(1)
