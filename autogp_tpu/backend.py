@@ -1,8 +1,9 @@
-"""Backend selection for the hot covariance-assembly path.
+"""Backend selection for the hot covariance/linalg paths.
 
-The Pallas fused-assembly kernel is used automatically on TPU (float32);
-the XLA stack-machine evaluator is used on CPU, under float64, and for
-gradient paths (HMC / MAP optimization) until the custom-VJP kernel lands.
+The Pallas kernels (tape-driven assembly fwd/bwd, batched blocked
+Cholesky) are used automatically on TPU float32 — both forward and
+gradient paths, via custom-VJP boundaries. The XLA stack-machine
+evaluator + plain autodiff is used on CPU and under float64.
 Set AUTOGP_NO_PALLAS=1 to force the XLA path everywhere.
 """
 

@@ -258,9 +258,11 @@ def lml(node_type, params_z, noise_z, ts, xs, mask, config: C.GPConfig,
         tables: PriorTables, pallas=None):
     """Log marginal likelihood for one particle.
 
-    `pallas=None` auto-selects the fused Pallas assembly on TPU for
-    forward-only call sites; gradient paths (HMC, MAP optimization) pass
-    pallas=False until the custom-VJP kernel lands.
+    `pallas=None` auto-selects the fused Pallas path on TPU float32:
+    tape-driven assembly with its custom-VJP gradient kernel
+    (ops/cov_pallas*.py), the batched Pallas Cholesky under vmap, and the
+    closed-form MVN-logpdf VJP. CPU/x64 uses the XLA stack-machine
+    evaluator with plain autodiff.
     """
     params_t = transform_params(node_type, params_z, tables.ttable)
     noise = transform_noise(noise_z, config)

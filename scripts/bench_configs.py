@@ -1,0 +1,337 @@
+"""The five BASELINE.json comparison configs, measured on this framework
+(TPU) against a single-host CPU reference-equivalent.
+
+The Julia reference cannot run here (no Julia in the image), so the CPU
+side is the same per-particle computation it performs: float64 numpy/
+scipy for covariance+Cholesky workloads, and jax-CPU-float64 autodiff
+for gradient workloads (GENEROUS to the baseline — Gen.jl's dynamic-DSL
+AD is slower than XLA CPU). Where a full CPU run is impractical on one
+core, a reduced run is measured and linearly extrapolated (marked *).
+
+Usage: python scripts/bench_configs.py  [writes a table to stdout]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+RESULTS = []
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def record(config, tpu_s, cpu_s, unit, note=""):
+    RESULTS.append((config, tpu_s, cpu_s, unit, note))
+    log(f"[{config}] tpu={tpu_s:.3f} cpu={cpu_s:.3f} {unit} "
+        f"({cpu_s / tpu_s:.1f}x) {note}")
+
+
+def airline_series(n=144):
+    rng = np.random.default_rng(0)
+    t = np.arange(n, dtype=float)
+    y = (1.0 + 0.02 * t) * (10.0 + 3.0 * np.sin(2 * np.pi * t / 12.0)) \
+        + 0.5 * rng.standard_normal(n)
+    return t, y
+
+
+def config1():
+    """Fixed Periodic*Linear kernel, N=200: cov + LML + quantiles."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.linalg import cho_factor, cho_solve
+    from scipy.stats import norm
+    from autogp_tpu import GP, GPConfig
+    from autogp_tpu import gp_math
+    from autogp_tpu import model as M
+    from autogp_tpu import tree as T
+
+    N, NP = 200, 56  # predictive points
+    rng = np.random.default_rng(1)
+    ts = np.linspace(0, 1, N)
+    tsp = np.linspace(1, 1.3, NP)
+    node = GP.Periodic(0.7, 0.3, 1.2) * GP.Linear(0.4, 0.8, 0.6)
+    noise = 0.05
+    K0 = GP.compute_cov_matrix_vectorized(node, noise, ts)
+    xs = rng.multivariate_normal(np.zeros(N), K0)
+
+    # CPU reference-equivalent (numpy/scipy float64)
+    def cpu_once():
+        Km = GP.compute_cov_matrix_vectorized(node, noise, ts)
+        c, lo = cho_factor(Km, lower=True)
+        alpha = cho_solve((c, lo), xs)
+        lml = -0.5 * (N * np.log(2 * np.pi)
+                      + 2 * np.sum(np.log(np.diag(c))) + xs @ alpha)
+        Kxp = GP.eval_cov(node, ts, tsp)
+        Kpp = GP.eval_cov(node, tsp)
+        mu = Kxp.T @ alpha
+        cov = Kpp - Kxp.T @ cho_solve((c, lo), Kxp) + noise * np.eye(NP)
+        q = norm.ppf([0.025, 0.975], loc=mu[:, None],
+                     scale=np.sqrt(np.diag(cov))[:, None])
+        return lml, q
+
+    for _ in range(2):
+        cpu_once()
+    t0 = time.time()
+    R = 20
+    for _ in range(R):
+        lml_cpu, _ = cpu_once()
+    cpu_s = (time.time() - t0) / R
+
+    # TPU path (jit; tensor trace)
+    cfg = GPConfig(max_depth=3)
+    tables = M.prior_tables(cfg)
+    nt, pz = T.node_to_tensor(node, cfg)
+    nt, pz = jnp.asarray(nt), jnp.asarray(pz)
+    pt = M.transform_params(nt, pz, tables.ttable)
+    mask = jnp.ones(N)
+    tsj, xsj, tspj = map(jnp.asarray, (ts, xs, tsp))
+
+    @jax.jit
+    def tpu_once(pt):
+        lml = gp_math.lml_masked(nt, pt, noise, tsj, xsj, mask,
+                                 cfg.depth_cap)
+        mu, cov = gp_math.posterior_mvn_masked(nt, pt, noise, tsj, xsj,
+                                               mask, tspj, cfg.depth_cap)
+        return lml, mu, jnp.diagonal(cov)
+
+    out = tpu_once(pt)
+    jax_block(out)
+    lml_tpu = float(out[0])
+    # f32 LML error scales with its O(N) components (logdet/quad ~ 1e2),
+    # not with the (near-cancelling) total.
+    assert abs(lml_tpu - lml_cpu) < 1e-4 * N, (lml_tpu, lml_cpu)
+    t0 = time.time()
+    for _ in range(R):
+        out = tpu_once(pt)
+    jax_block(out)
+    tpu_s = (time.time() - t0) / R
+    record("1a. fixed-kernel LML+quantiles N=200, batch 1", tpu_s, cpu_s,
+           "s/eval", f"LML abs diff {abs(lml_tpu - lml_cpu):.1e}; "
+           "batch-1 is the TPU's worst regime")
+
+    # 1b: the deployment shape — a particle batch evaluated at once.
+    P = 64
+    pts = jnp.broadcast_to(pt, (P,) + pt.shape)
+    tpu_batch = jax.jit(jax.vmap(tpu_once))
+    out = tpu_batch(pts)
+    jax_block(out)
+    t0 = time.time()
+    for _ in range(R):
+        out = tpu_batch(pts)
+    jax_block(out)
+    tpu_b = (time.time() - t0) / R / P
+    record(f"1b. same, vmapped batch of {P} (per-eval)", tpu_b, cpu_s,
+           "s/eval", "")
+
+
+def config2():
+    """HMC on fixed structure, N=500, 20 sweeps x L=10 (experiment_hmc)."""
+    import jax
+    import jax.numpy as jnp
+    from autogp_tpu import GP, GPConfig
+    from autogp_tpu import model as M
+    from autogp_tpu import tree as T
+    from autogp_tpu.inference import hmc as H
+    from autogp_tpu.inference import smc
+
+    N = 500
+    rng = np.random.default_rng(2)
+    ts = np.linspace(0, 1, N)
+    node = GP.Linear(0.3, 0.9, 0.8) + GP.Periodic(0.8, 0.25, 1.1)
+    xs = rng.multivariate_normal(
+        np.zeros(N), GP.compute_cov_matrix_vectorized(node, 0.05, ts))
+    cfg = GPConfig(max_depth=3)
+    tables = M.prior_tables(cfg)
+    nt, pz = T.node_to_tensor(node, cfg)
+    data = smc.make_dataset(ts, xs, dtype=jnp.float32)
+    d = (data.ts, data.xs, data.mask)
+    hc = H.HMCConfig(n_exit=100)
+    n_sweeps = 20
+
+    ntj = jnp.asarray(nt)
+    pzj = jnp.asarray(pz, jnp.float32)
+    nzj = jnp.asarray(0.1, jnp.float32)
+    dd = tuple(jnp.asarray(np.asarray(x), jnp.float32) for x in d)
+    lml0 = M.lml(ntj, pzj, nzj, *dd, cfg, tables)
+
+    @jax.jit
+    def sweeps(key, pzj, nzj, lml0):
+        return H.rejuvenate_parameters(key, ntj, pzj, nzj, lml0, dd,
+                                       cfg, tables, n_sweeps, hc, True)
+    out = sweeps(jax.random.PRNGKey(0), pzj, nzj, lml0)
+    jax_block(out)
+    t0 = time.time()
+    out = sweeps(jax.random.PRNGKey(1), pzj, nzj, lml0)
+    jax_block(out)
+    tpu_s = time.time() - t0
+
+    # CPU float64 equivalent in a subprocess (jax_platforms is forced to
+    # the TPU backend in-process): 2 sweeps, extrapolated to n_sweeps.
+    import subprocess
+    code = f"""
+import time, numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+import jax.numpy as jnp, sys
+sys.path.insert(0, "/root/repo")
+from autogp_tpu import GP, GPConfig
+from autogp_tpu import model as M
+from autogp_tpu import tree as T
+from autogp_tpu.inference import hmc as H
+from autogp_tpu.inference import smc
+N = {N}
+rng = np.random.default_rng(2)
+ts = np.linspace(0, 1, N)
+node = GP.Linear(0.3, 0.9, 0.8) + GP.Periodic(0.8, 0.25, 1.1)
+xs = rng.multivariate_normal(np.zeros(N), GP.compute_cov_matrix_vectorized(node, 0.05, ts))
+cfg = GPConfig(max_depth=3)
+tables = M.prior_tables(cfg)
+nt, pz = T.node_to_tensor(node, cfg)
+data = smc.make_dataset(ts, xs)
+dd = (data.ts, data.xs, data.mask)
+hc = H.HMCConfig(n_exit=100)
+ntj = jnp.asarray(nt); pzj = jnp.asarray(pz); nzj = jnp.asarray(0.1)
+lml0 = M.lml(ntj, pzj, nzj, *dd, cfg, tables)
+f = jax.jit(lambda k, p, z, l: H.rejuvenate_parameters(k, ntj, p, z, l, dd, cfg, tables, 2, hc, True))
+out = f(jax.random.PRNGKey(0), pzj, nzj, lml0)
+jax.block_until_ready(out)
+t0 = time.time()
+out = f(jax.random.PRNGKey(1), pzj, nzj, lml0)
+jax.block_until_ready(out)
+print((time.time() - t0) / 2)
+"""
+    try:
+        r = subprocess.run([sys.executable, "-u", "-c", code],
+                           capture_output=True, text=True, timeout=1800)
+        cpu_s = float(r.stdout.strip().splitlines()[-1]) * n_sweeps
+    except Exception as e:
+        log("config2 cpu subprocess failed:", e)
+        cpu_s = float("nan")
+    record(f"2. HMC fixed-structure N=500 ({n_sweeps} sweeps, L=10)",
+           tpu_s, cpu_s, "s", "cpu=jax-f64 1-core (generous), *extrap")
+
+
+def config4and5():
+    """Full SMC N=1000 P=64, and streaming online step P=128."""
+    import jax
+    import jax.numpy as jnp
+    from autogp_tpu import GPConfig
+    from autogp_tpu import model as M
+    from autogp_tpu.inference import hmc as H
+    from autogp_tpu.inference import smc
+
+    N, P = 1024, 64
+    cfg = GPConfig(max_depth=5)
+    tables = M.prior_tables(cfg)
+    rng = np.random.default_rng(0)
+    ts = np.linspace(0.0, 1.0, N)
+    xs = np.sin(2 * np.pi * 7 * ts) + 0.1 * rng.standard_normal(N)
+    t0 = time.time()
+    sched = [N // 4, N // 2, 3 * N // 4, N]
+    key = jax.random.PRNGKey(0)
+    hc = H.HMCConfig(n_exit=1)
+    particles = smc.run_smc_anneal_data(
+        key, ts, xs, cfg, tables, P, sched, 10, 10,
+        biased=False, hmc_cfg=hc, permutation=np.arange(N),
+        adaptive_resampling=True, adaptive_rejuvenation=False,
+        verbose=False, check=False, callback_fn=None, dtype=jnp.float32)
+    jax.block_until_ready(particles.log_weights)
+    fit_s = time.time() - t0
+    log(f"[4] full fit incl compile: {fit_s:.1f}s")
+    # steady-state: one more fit with warm cache
+    t0 = time.time()
+    particles = smc.run_smc_anneal_data(
+        jax.random.PRNGKey(1), ts, xs, cfg, tables, P, sched, 10, 10,
+        biased=False, hmc_cfg=hc, permutation=np.arange(N),
+        adaptive_resampling=True, adaptive_rejuvenation=False,
+        verbose=False, check=False, callback_fn=None, dtype=jnp.float32)
+    jax.block_until_ready(particles.log_weights)
+    tpu_s = time.time() - t0
+    # CPU extrapolation from the measured per-LML/per-grad primitives:
+    # bench.py CPU baseline ~8.6 LML evals/s f64; the fit is ~4 schedule
+    # steps x P x (1 reweight + n_mcmc MH rescores + accepted-HMC grads).
+    # Count conservatively: 4*64*(1+10) rescoring LMLs + HMC grads
+    # approximated at 3x an LML each, 10 leapfrogs x ~2 kernels x accept
+    # rate ~0.3.
+    n_lml = 4 * P * (1 + 10)
+    n_grad_equiv = 4 * P * 10 * 10 * 2 * 0.3 * 3
+    cpu_s = (n_lml + n_grad_equiv) / 8.6
+    record("4. full SMC fit N=1024 P=64 (4 steps, n_mcmc=10, n_hmc=10)",
+           tpu_s, cpu_s, "s", "*cpu extrapolated from measured 8.6 LML/s")
+
+    # Config 5: online step at P=128 — add one observation batch, then
+    # reweight + rejuvenate (scripts/online.jl per-step work).
+    P2 = 128
+    data = smc.make_dataset(ts[:512], xs[:512], pad_to=512,
+                            dtype=jnp.float32)
+    parts = smc.initialize(jax.random.PRNGKey(2), P2, data, cfg, tables,
+                           dtype=jnp.float32)
+    fn = smc.smc_round_jit(cfg, tables, n_mcmc=5, n_hmc=5, biased=False,
+                           hmc_cfg=hc, infer_noise=True,
+                           allow_resample=True, ess_threshold=P2 / 2,
+                           adaptive_rejuvenation=False)
+    out, _ = fn(jax.random.PRNGKey(3), parts, data)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out, _ = fn(jax.random.PRNGKey(4), parts, data)
+    jax.block_until_ready(out)
+    tpu5 = time.time() - t0
+    n_lml5 = P2 * (1 + 5)
+    n_grad5 = P2 * 5 * 5 * 2 * 0.3 * 3
+    cpu5 = (n_lml5 + n_grad5) / (8.6 * 4)  # N=512 is ~4x cheaper/LML
+    record("5. online SMC step N=512 P=128 (n_mcmc=5, n_hmc=5)",
+           tpu5, cpu5, "s", "*cpu extrapolated")
+
+
+def config3():
+    """Greedy search depth<=3, airline-like series (Greedy.jl path)."""
+    import autogp_tpu
+    from autogp_tpu import GPConfig
+    t, y = airline_series()
+    cfg = GPConfig(changepoints=False, max_depth=3)
+    autogp_tpu.seed(11)
+    m = autogp_tpu.GPModel(t, y, n_particles=1, config=cfg)
+    t0 = time.time()
+    autogp_tpu.fit_greedy(m, max_depth=3)
+    tpu_s = time.time() - t0
+    # CPU estimate: each greedy stage optimizes ~|candidates| structures
+    # with <=500 LML+grad evals each; measured f64 numpy LML at N=144
+    # ~ 1e-3 s and grad ~3x => per candidate ~2 s, ~30 candidates/stage.
+    cpu_s = 3 * 30 * 500 * (1e-3 * 4) / 4  # ~45 s, rough
+    record("3. greedy search depth<=3 (airline-like, incl compile)",
+           tpu_s, cpu_s, "s", "*cpu rough estimate; tpu incl compiles")
+
+
+def jax_block(x):
+    import jax
+    jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+        else a, x)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    log(f"devices: {jax.devices()}")
+    config1()
+    config2()
+    config3()
+    config4and5()
+    print("\n| Config | TPU | CPU ref-equivalent | speedup |")
+    print("|---|---|---|---|")
+    for cfgname, tpu_s, cpu_s, unit, note in RESULTS:
+        sp = "" if not np.isfinite(cpu_s) else f"{cpu_s / tpu_s:.0f}x"
+        print(f"| {cfgname} | {tpu_s:.3f} {unit} | {cpu_s:.3f} {unit} "
+              f"| {sp} {note} |")
+
+
+if __name__ == "__main__":
+    main()
