@@ -38,20 +38,23 @@ BLOCK = 128   # panel width (lane-aligned)
 SUBW = 32     # sub-panel width of the sequential recurrence
 
 
-def _panel_kernel(in_ref, out_ref, sem, *, B: int, W: int, m: int,
-                  pp: int):
+def _panel_kernel(in_ref, hbm_out_ref, out_ref, sem_in, sem_out, *,
+                  B: int, W: int, m: int, pp: int):
     """Factor a [pp, B, m] TRANSPOSED panel in place (columns = sublanes).
 
     Column c's diagonal element sits at lane c (the panel starts at the
     diagonal block). After this kernel, rows 0..B-1 of out_ref hold the
     factored panel columns; lanes < c of column c are zeroed.
 
-    The input stays in HBM (ANY) and is DMA'd into the output VMEM block
-    directly: with in/out both VMEM-blocked the pipeline double-buffers
-    four [pp, B, m] windows and overflows VMEM at pp=8, N=1024.
+    Both HBM endpoints stay un-blocked (ANY) with manual DMA through ONE
+    VMEM scratch: VMEM-blocked in/out would be pipeline-double-buffered
+    (4 windows) and overflow VMEM. A single resident window lets pp=16
+    particles share each sequential column recurrence (the per-step
+    loop latency, not bandwidth, dominates this kernel).
     """
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(in_ref.at[pl.ds(i * pp, pp)], out_ref, sem)
+    dma = pltpu.make_async_copy(in_ref.at[pl.ds(i * pp, pp)], out_ref,
+                                sem_in)
     dma.start()
     dma.wait()
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
@@ -61,6 +64,19 @@ def _panel_kernel(in_ref, out_ref, sem, *, B: int, W: int, m: int,
     for sb in range(SB):
         off = sb * W
         subrow = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+
+        if sb > 0:
+            # left-looking cross-term update: pull in all previously
+            # factored sub-panels with ONE K=off MXU dot.
+            # X[:, i, r] -= sum_{j<off} L[i, j] L[r, j], i in [off, off+W).
+            Lprev = out_ref[:, 0:off, :]                      # [pp,off,m]
+            T = Lprev[:, :, off:off + W]                      # [pp,off,W]
+            upd = jax.lax.dot_general(
+                T, Lprev, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=Lprev.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+            out_ref[:, off:off + W, :] = \
+                out_ref[:, off:off + W, :] - upd
 
         def step(j, _, off=off, subrow=subrow):
             gj = off + j
@@ -82,23 +98,18 @@ def _panel_kernel(in_ref, out_ref, sem, *, B: int, W: int, m: int,
 
         jax.lax.fori_loop(0, W, step, 0)
 
-        if sb + 1 < SB:
-            # cross-term update of the later sub-panels (MXU):
-            # X[:, i, r] -= sum_j L[i, j] L[r, j],  i in [off+W, B).
-            Ls = out_ref[:, off:off + W, :]                   # [pp,W,m]
-            T = Ls[:, :, off + W:B]                           # [pp,W,B-off-W]
-            upd = jax.lax.dot_general(
-                T, Ls, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=Ls.dtype,
-                precision=jax.lax.Precision.HIGHEST)
-            out_ref[:, off + W:B, :] = out_ref[:, off + W:B, :] - upd
+    dma_out = pltpu.make_async_copy(out_ref,
+                                    hbm_out_ref.at[pl.ds(i * pp, pp)],
+                                    sem_out)
+    dma_out.start()
+    dma_out.wait()
 
 
 def _pick_pp(P: int, B: int, m: int, budget_bytes=9 * 2 ** 20) -> int:
-    """Particles per program: the out block is double-buffered across grid
-    steps (2x), plus ~1.5x its size of in-kernel temporaries."""
+    """Particles per program: ONE resident [pp, B, m] scratch window plus
+    ~its size again of in-kernel temporaries."""
     pp = P
-    while pp > 1 and 2 * pp * B * m * 4 > budget_bytes:
+    while pp > 1 and pp * B * m * 4 > budget_bytes:
         pp //= 2
     return pp
 
@@ -107,19 +118,23 @@ def _panel_factor(panel_t, interpret: bool = False, subw: int = None):
     """Factor a batch of transposed panels [P, B, m] -> [P, B, m]."""
     P, B, m = panel_t.shape
     pp = _pick_pp(P, B, m)
+    # With the bigger particle window, shrink the sub-panel strip so the
+    # per-step [pp, W, m] temporaries fit beside the 8MB scratch.
+    w_default = SUBW if pp * B * m * 4 <= 4 * 2 ** 20 else SUBW // 2
     kernel = functools.partial(_panel_kernel, B=B,
-                               W=min(subw or SUBW, B), m=m, pp=pp)
+                               W=min(subw or w_default, B), m=m, pp=pp)
     return pl.pallas_call(
         kernel,
         grid=(P // pp,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((pp, B, m), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((P, B, m), panel_t.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.VMEM((pp, B, m), panel_t.dtype),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=14 * 2 ** 20),
+            vmem_limit_bytes=15 * 2 ** 20),
         cost_estimate=pl.CostEstimate(
             flops=P * B * B * m, bytes_accessed=2 * P * B * m * 4,
             transcendentals=P * B),
