@@ -18,7 +18,9 @@ import jax  # noqa: E402
 
 if os.environ.get("AUTOGP_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", True)
+# (TPU mode stays float32: x64 would disable the Pallas kernels under
+# test in tests/test_tpu_kernels.py.)
 
 # Persistent compilation cache: the suite compiles a few dozen sizable XLA
 # programs (SMC rounds, HMC scans); caching them across runs cuts the suite

@@ -1,0 +1,123 @@
+"""Real-hardware kernel parity tests (skipped off-TPU).
+
+The CPU suite exercises the Pallas kernels in interpret mode; these run
+the compiled Mosaic kernels on the actual TPU and check them against
+float64 ground truth. Run with:
+
+    AUTOGP_TEST_TPU=1 python -m pytest tests/test_tpu_kernels.py -q
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() not in ("tpu", "axon"):
+    pytest.skip("TPU kernels need real hardware (AUTOGP_TEST_TPU=1)",
+                allow_module_level=True)
+
+from autogp_tpu import GPConfig
+from autogp_tpu import gp_math
+from autogp_tpu import model as M
+from autogp_tpu.inference import smc
+from autogp_tpu.ops import chol_pallas, cov_pallas
+
+
+@pytest.fixture(scope="module")
+def spd_batch():
+    rng = np.random.default_rng(0)
+    P, N = 8, 256
+    A = rng.standard_normal((P, N, N))
+    K64 = A @ np.swapaxes(A, 1, 2) + N * np.eye(N)
+    return K64, jnp.asarray(K64, jnp.float32)
+
+
+def test_chol_pallas_vs_f64(spd_batch):
+    K64, K = spd_batch
+    L64 = np.linalg.cholesky(K64)
+    L = np.asarray(jax.jit(chol_pallas.cholesky_batched)(K), np.float64)
+    scale = np.abs(L64).max()
+    assert np.max(np.abs(L - L64)) / scale < 5e-6
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+def test_chol_pallas_nan_parity_with_xla(spd_batch):
+    """On non-PD f32 inputs the Pallas chol must NaN exactly where XLA's
+    does (SMC treats NaN LML as a rejected/dead particle)."""
+    _, K = spd_batch
+    Kbad = K.at[0].add(-300.0 * jnp.eye(K.shape[1], dtype=K.dtype))
+    Lx = np.asarray(jax.jit(jax.vmap(jnp.linalg.cholesky))(Kbad))
+    Lp = np.asarray(jax.jit(chol_pallas.cholesky_batched)(Kbad))
+    nx = np.isnan(Lx).any(axis=(1, 2))
+    npal = np.isnan(Lp).any(axis=(1, 2))
+    np.testing.assert_array_equal(nx, npal)
+
+
+def test_tri_inv_blocked_vs_f64(spd_batch):
+    K64, K = spd_batch
+    L64 = np.linalg.cholesky(K64)
+    L = jnp.asarray(L64, jnp.float32)
+    W = np.asarray(jax.jit(jax.vmap(gp_math.tri_inv_blocked))(L),
+                   np.float64)
+    resid = np.max(np.abs(W @ L64 - np.eye(L64.shape[-1])))
+    assert resid < 1e-5, resid
+
+
+def test_assembly_tape_vs_cpu_f64():
+    """Compiled tape assembly vs the float64 symbolic evaluator."""
+    from autogp_tpu import GP
+    from autogp_tpu import tree as T
+    cfg = GPConfig(max_depth=4)
+    tables = M.prior_tables(cfg)
+    node = GP.ChangePoint(GP.Linear(0.3) * GP.Periodic(1.0, 0.5),
+                          GP.GammaExponential(1.0, 1.2), 0.5, 0.001)
+    nt, pz = T.node_to_tensor(node, cfg)
+    nt = jnp.asarray(nt)
+    pt = M.transform_params(nt, jnp.asarray(pz, jnp.float32),
+                            tables.ttable)
+    N = 256
+    ts = np.linspace(0.0, 1.0, N)
+    mask = jnp.ones(N, jnp.float32)
+    Kp = np.asarray(jax.jit(
+        lambda: cov_pallas.cov_matrix_tape(nt, pt, 0.3, jnp.asarray(
+            ts, jnp.float32), mask, cfg.depth_cap))(), np.float64)
+    node_t = T.tensor_to_node(np.asarray(nt), np.asarray(pz), cfg)
+    K64 = GP.compute_cov_matrix_vectorized(node_t, 0.3, ts)
+    # f32 kernel vs f64 symbolic: sigmoid/exp chains accumulate ~2e-5 abs
+    # on O(1) entries.
+    assert np.max(np.abs(Kp - K64)) < 5e-5
+
+
+def test_grad_lml_tpu_vs_cpu_reference():
+    """value_and_grad of the full Pallas LML path vs f64 finite check:
+    the gradient must point uphill (directional derivative test)."""
+    cfg = GPConfig(max_depth=4)
+    tables = M.prior_tables(cfg)
+    rng = np.random.default_rng(1)
+    N = 256
+    ts = np.linspace(0.0, 1.0, N)
+    xs = np.sin(2 * np.pi * 3 * ts) + 0.1 * rng.standard_normal(N)
+    data = smc.make_dataset(ts, xs, pad_to=N, dtype=jnp.float32)
+    parts = smc.initialize(jax.random.PRNGKey(0), 4, data, cfg, tables,
+                           dtype=jnp.float32)
+
+    def lml_one(pz, nz, nt):
+        return M.lml(nt, pz, nz, data.ts, data.xs, data.mask, cfg, tables)
+
+    vg = jax.jit(jax.vmap(jax.value_and_grad(lml_one, argnums=(0, 1)),
+                          in_axes=(0, 0, 0)))
+    (v0, (gp, gn)) = vg(parts.params, parts.noise_z, parts.node_type)
+    assert np.isfinite(np.asarray(v0)).all()
+    # step along the gradient; LML must increase for a small step.
+    eps = 1e-3
+    gnorm = jnp.sqrt(jnp.sum(gp * gp, axis=(1, 2)) + gn * gn)[:, None, None]
+    p2 = parts.params + eps * gp / jnp.maximum(gnorm, 1e-9)
+    n2 = parts.noise_z + eps * (gn / jnp.maximum(gnorm[:, 0, 0], 1e-9))
+    v1, _ = vg(p2, n2, parts.node_type)
+    v0n, v1n = np.asarray(v0), np.asarray(v1)
+    # Ill-conditioned prior draws can NaN after the step (f32 PD cliff);
+    # every particle that survives must have moved uphill.
+    ok = np.isfinite(v1n)
+    assert ok.sum() >= len(v0n) // 2, (v0n, v1n)
+    assert (v1n[ok] >= v0n[ok] - 1e-3).all(), (v0n, v1n)
