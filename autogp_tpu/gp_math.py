@@ -418,28 +418,39 @@ def posterior_mvn_masked(node_type, params, noise, ts, xs, mask, ts_pred,
                          depth_cap: int, noise_pred=None):
     """Conditional MVN of X(ts_pred) | X(ts_active) = xs_active.
 
-    Mirrors Distributions.MvNormal(node, noise, ts, xs, ts_pred) at
-    GP.jl:731-758 (Schur complement + symmetrization + noise_pred*I), with
-    the training block masked for padding.
+    Same value as Distributions.MvNormal(node, noise, ts, xs, ts_pred) at
+    GP.jl:731-758, but computed through the JOINT Cholesky instead of the
+    explicit Schur complement: with
+        chol([[K11m, K12m], [K21m, K22 + noise_pred I]]) = [[L11, 0],
+                                                            [L21, L22]]
+    the conditional covariance is exactly L22 L22^T — PSD by construction.
+    The reference's direct K22 - K21 K11^-1 K12 suffers catastrophic
+    cancellation in float32 on dense prediction grids (measured
+    eigenvalues down to -3.6 on an O(4) scale), NaN-ing every downstream
+    factorization; the joint form is backward stable.
     """
     if noise_pred is None:
         noise_pred = noise
+    n = ts.shape[0]
+    p = ts_pred.shape[0]
     z = jnp.concatenate([ts, ts_pred])
     K = eval_cov(node_type, params, z, z, depth_cap)
     K = 0.5 * (K + K.T)
-    n = ts.shape[0]
-    K11 = K[:n, :n] + noise * jnp.eye(n, dtype=K.dtype)
-    K11 = masked_gram(K11, mask)
-    K12 = K[:n, n:] * mask[:, None]
-    K22 = K[n:, n:]
-    L = jnp.linalg.cholesky(K11)
-    # K11^{-1} x and K11^{-1} K12 via triangular solves.
-    sol_x = jax.scipy.linalg.cho_solve((L, True), xs * mask)
-    sol_K = jax.scipy.linalg.cho_solve((L, True), K12)
-    mu = K12.T @ sol_x
-    cov = K22 - K12.T @ sol_K
+    noise_diag = jnp.concatenate([
+        jnp.full((n,), noise, K.dtype),
+        jnp.full((p,), noise_pred, K.dtype)])
+    J = K + jnp.diag(noise_diag)
+    # mask the training block: padded rows/cols -> identity.
+    m_ext = jnp.concatenate([mask, jnp.ones((p,), mask.dtype)])
+    J = masked_gram(J, m_ext)
+    L = jnp.linalg.cholesky(J)
+    L11 = L[:n, :n]
+    L21 = L[n:, :n]
+    L22 = L[n:, n:]
+    alpha = jax.scipy.linalg.solve_triangular(L11, xs * mask, lower=True)
+    mu = L21 @ alpha
+    cov = L22 @ L22.T
     cov = 0.5 * (cov + cov.T)
-    cov = cov + noise_pred * jnp.eye(cov.shape[0], dtype=cov.dtype)
     return mu, cov
 
 

@@ -91,13 +91,19 @@ def main():
     lp_ll = float(lp_test(pz_j, nz_j))
     print(f"predictive logp: conditional={lp_ll:.6f} bayes={lp_bayes:.6f} "
           f"diff={abs(lp_ll - lp_bayes):.2e}")
-    assert abs(lp_ll - lp_bayes) < max(1e-6 * abs(lp_bayes), 1e-3), \
-        "Bayes-rule oracle failed"
+    # f64: near-exact identity. f32: each of the n_test log-terms carries
+    # ~1e-4 roundoff, so the identity holds to ~3e-4 * n_test.
+    tol = (max(1e-6 * abs(lp_bayes), 1e-3) if dtype == jnp.float64
+           else max(1e-4 * abs(lp_bayes), 3e-4 * len(ts_test)))
+    assert abs(lp_ll - lp_bayes) < tol, \
+        f"Bayes-rule oracle failed: diff {abs(lp_ll - lp_bayes)} > {tol}"
 
-    # --- HMC from a dispersed init (U[-2,2] on all params) -----------------
+    # --- HMC from a prior draw (z ~ N(0,1), as the reference generates
+    # its initial trace; a uniform[-2,2] init can land the period in a
+    # gradient-blowup region where every trajectory diverges) -------------
     pmask = np.asarray(tree.param_mask(nt))
-    pz0 = jnp.asarray(rng.uniform(-2, 2, size=pz_true.shape) * pmask, dtype)
-    nz0 = jnp.asarray(rng.uniform(-2, 2), dtype)
+    pz0 = jnp.asarray(rng.standard_normal(pz_true.shape) * pmask, dtype)
+    nz0 = jnp.asarray(rng.standard_normal(), dtype)
 
     # Gen.hmc defaults (eps=0.1, L=10) as used by experiment_hmc.jl:237.
     eps = float(os.environ.get("EPS", 0.1))
@@ -118,14 +124,17 @@ def main():
     key = jax.random.PRNGKey(seed)
     pz, nz, lml = pz0, nz0, lml0
     t_total = 0.0
+    acc_total = 0
     for i in range(1, n_steps + 1):
         key, k = jax.random.split(key)
         t0 = time.time()
         pz, nz, lml, n_acc = hmc_step(k, pz, nz, lml)
         jax.block_until_ready(lml)
         t_total += time.time() - t0
+        acc_total += int(n_acc)
         if i % max(1, n_steps // 10) == 0:
-            print(f"step {i:4d} acc={int(n_acc)} lml={float(lml):10.3f} "
+            print(f"step {i:4d} acc={acc_total}/{i} "
+                  f"lml={float(lml):10.3f} "
                   f"lp_test={float(lp_test(pz, nz)):10.3f}")
 
     print(f"Completed {n_steps} HMC steps in {t_total:.2f}s "

@@ -185,6 +185,38 @@ def test_mvn_logpdf_custom_vjp_matches_autodiff(n, pad):
                                rtol=1e-8, atol=1e-12)
 
 
+def test_posterior_mvn_f32_dense_grid_is_psd():
+    """The joint-Cholesky conditional must stay PSD in float32 on a dense
+    interleaved prediction grid (the explicit Schur complement measured
+    eigenvalues of -3.6 here and NaN'd the predictive logpdf)."""
+    rng = np.random.default_rng(0)
+    node = K.Linear(0.5, 1.0, 1.0) + K.Periodic(2.0, 1.0, 1.0)
+    noise = 0.05 + C.MODEL_JITTER
+    n_all, n_obs = 500, 100
+    ts = np.linspace(0, 10, n_all)
+    Kt = K.compute_cov_matrix_vectorized(node, noise, ts)
+    xs = rng.multivariate_normal(np.zeros(n_all), Kt)
+    perm = rng.permutation(n_all)
+    oi, ti_ = np.sort(perm[:n_obs]), np.sort(perm[n_obs:])
+
+    nt, pz = tree.node_to_tensor(node, CFG)
+    nt = jnp.asarray(nt)
+    tables = model.prior_tables(CFG)
+    f32 = jnp.float32
+    pt = model.transform_params(nt, jnp.asarray(pz, f32),
+                                jnp.asarray(tables.ttable, f32))
+    mu, cov = gp_math.posterior_mvn_masked(
+        nt, pt, f32(noise), jnp.asarray(ts[oi], f32),
+        jnp.asarray(xs[oi], f32), jnp.ones(n_obs, f32),
+        jnp.asarray(ts[ti_], f32), CFG.depth_cap)
+    cov64 = np.asarray(cov, np.float64)
+    assert np.isfinite(cov64).all()
+    ev = np.linalg.eigvalsh(cov64)
+    assert ev.min() > 0, ev.min()
+    lp = gp_math.mvn_logpdf(mu, cov, jnp.asarray(xs[ti_], f32))
+    assert np.isfinite(float(lp))
+
+
 def test_lml_noise_grad_analytic_matches_autodiff():
     """lml_value_and_noise_grad == jax.grad through the full LML, on the
     power-of-two (blocked-inverse) path."""
