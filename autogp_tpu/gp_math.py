@@ -494,12 +494,29 @@ def infer_gp_sum_from_blocks(Ktt, Ktp, Kpp, noise, xs, mask,
     Sbb = S_tt + noise * jnp.eye(n, dtype=Ktt.dtype)
     Sbb = masked_gram(Sbb, mask)
     Saa = 0.5 * (Saa + Saa.T)
+    # The reference adds the 1e-8 jitter AFTER the Schur complement
+    # (GP.jl:993); here it goes on Saa first so the joint gram is PD —
+    # the joint is otherwise exactly singular (X(T*) = sum_i F_i(T*) +
+    # noise), and the joint-Cholesky form below needs chol([[Sbb, Sab^T],
+    # [Sab, Saa]]). Same 1e-8-level result in float64; float32 needs a
+    # jitter above its noise floor for the pivots to stay positive.
+    # Unlike the explicit Saa - Sab Sbb^-1 Sab^T this cannot go
+    # indefinite (see posterior_mvn_masked).
+    jit = (C.SUM_GP_JITTER if Saa.dtype == jnp.float64
+           else max(C.SUM_GP_JITTER, 1e-5))
+    Saa = Saa + jit * jnp.eye(d_a, dtype=Saa.dtype)
 
-    L = jnp.linalg.cholesky(Sbb)
-    mu = Sab @ jax.scipy.linalg.cho_solve((L, True), xs * mask)
-    cov = Saa - Sab @ jax.scipy.linalg.cho_solve((L, True), Sab.T)
+    J = jnp.concatenate([
+        jnp.concatenate([Sbb, Sab.T], axis=1),
+        jnp.concatenate([Sab, Saa], axis=1)], axis=0)
+    L = jnp.linalg.cholesky(J)
+    L11 = L[:n, :n]
+    L21 = L[n:, :n]
+    L22 = L[n:, n:]
+    alpha = jax.scipy.linalg.solve_triangular(L11, xs * mask, lower=True)
+    mu = L21 @ alpha
+    cov = L22 @ L22.T
     cov = 0.5 * (cov + cov.T)
-    cov = cov + C.SUM_GP_JITTER * jnp.eye(d_a, dtype=cov.dtype)
     return mu, cov
 
 
