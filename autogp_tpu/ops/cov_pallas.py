@@ -30,6 +30,19 @@ from autogp_tpu import config as C
 from autogp_tpu import gp_math
 
 
+def row_slice(ref, jo, tile_j: int, single_j: bool):
+    """Lane-slice [0:1, jo:jo+tile_j] of a (1, N) row ref.
+
+    Mosaic requires dynamic lane starts to be provably 128-aligned; for
+    tile_j < 128 it cannot prove program_id * tile_j is, and compilation
+    fails on real TPU. Every bucket below 128 has exactly ONE j-tile
+    (buckets are powers of two), so the static full slice covers it.
+    """
+    if single_j:
+        return ref[0:1, 0:tile_j]
+    return ref[0:1, pl.ds(jo, tile_j)]
+
+
 def _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref, sp_ref,
                     depth_cap: int):
     """Evaluate the encoded tree on a [TI, TJ] tile via the post-order
@@ -239,11 +252,11 @@ def _tree_eval_tape(tslot_ref, ttype_ref, tlen_ref, par_ref, t1, t2,
 def _cov_kernel_tape_1p(tslot_ref, ttype_ref, tlen_ref, par_ref, noise_ref,
                         tsc_ref, tsr_ref, mkc_ref, mkr_ref, out_ref,
                         stack_ref, *, tile_i: int, tile_j: int,
-                        masked: bool):
+                        masked: bool, single_j: bool):
     """Tape-driven single-particle assembly (grid (I, J); vmap batches)."""
     jo = pl.program_id(1) * tile_j
     t1 = tsc_ref[:, 0:1]
-    t2 = tsr_ref[0:1, pl.ds(jo, tile_j)]
+    t2 = row_slice(tsr_ref, jo, tile_j, single_j)
     _tree_eval_tape(tslot_ref, ttype_ref, tlen_ref, par_ref, t1, t2,
                     stack_ref)
     K = stack_ref[0]
@@ -256,7 +269,7 @@ def _cov_kernel_tape_1p(tslot_ref, ttype_ref, tlen_ref, par_ref, noise_ref,
     diag = (row == col).astype(K.dtype)
     K = K + noise_ref[0, 0] * diag
     if masked:
-        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, pl.ds(jo, tile_j)]
+        m2 = mkc_ref[:, 0:1] * row_slice(mkr_ref, jo, tile_j, single_j)
         K = jnp.where(m2 > 0, K, diag)
     out_ref[:, :] = K
 
@@ -274,7 +287,7 @@ def cov_matrix_tape(node_type, params_t, noise, ts, mask, depth_cap: int,
     dt = params_t.dtype
     tslot, ttype, _, _, tlen = build_tape(node_type, depth_cap)
     kernel = functools.partial(_cov_kernel_tape_1p, tile_i=ti, tile_j=tj,
-                               masked=masked)
+                               masked=masked, single_j=(N == tj))
     return pl.pallas_call(
         kernel,
         grid=(N // ti, N // tj),
@@ -346,7 +359,8 @@ def cov_matrix_single(node_type, params_t, noise, ts, mask,
 
 def _cov_kernel_1p(nt_ref, par_ref, noise_ref, tsc_ref, tsr_ref, mkc_ref,
                    mkr_ref, out_ref, stack_ref, sp_ref, *, depth_cap: int,
-                   tile_i: int, tile_j: int, masked: bool):
+                   tile_i: int, tile_j: int, masked: bool,
+                   single_j: bool):
     """Single-particle variant with grid (I, J); batched via vmap (the
     pallas_call batching rule turns the vmapped axis into a grid dim).
 
@@ -357,7 +371,7 @@ def _cov_kernel_1p(nt_ref, par_ref, noise_ref, tsc_ref, tsr_ref, mkc_ref,
     shapes are unconstrained by the (1, tile) block rule."""
     jo = pl.program_id(1) * tile_j
     t1 = tsc_ref[:, 0:1]
-    t2 = tsr_ref[0:1, pl.ds(jo, tile_j)]
+    t2 = row_slice(tsr_ref, jo, tile_j, single_j)
     _tree_eval_tile(nt_ref, par_ref, t1, t2, stack_ref,
                     sp_ref, depth_cap)
     K = stack_ref[0]
@@ -370,7 +384,7 @@ def _cov_kernel_1p(nt_ref, par_ref, noise_ref, tsc_ref, tsr_ref, mkc_ref,
     diag = (row == col).astype(K.dtype)
     K = K + noise_ref[0, 0] * diag
     if masked:
-        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, pl.ds(jo, tile_j)]
+        m2 = mkc_ref[:, 0:1] * row_slice(mkr_ref, jo, tile_j, single_j)
         K = jnp.where(m2 > 0, K, diag)
     out_ref[:, :] = K
 
@@ -407,7 +421,7 @@ def cov_matrix(node_type, params_t, noise, ts, mask, depth_cap: int,
         ti, tj = _pick_tiles(N)
     dt = params_t.dtype
     kernel = _ft.partial(_cov_kernel_1p, depth_cap=depth_cap, tile_i=ti,
-                         tile_j=tj, masked=masked)
+                         tile_j=tj, masked=masked, single_j=(N == tj))
     return pl.pallas_call(
         kernel,
         grid=(N // ti, N // tj),

@@ -110,12 +110,13 @@ def _fwd_values(nt_ref, par, t1, t2, val_ref, depth_cap: int):
 
 def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
                 kbar_ref, pbar_ref, val_ref, adj_ref, acc_ref, *,
-                depth_cap: int, tile_i: int, tile_j: int, masked: bool):
+                depth_cap: int, tile_i: int, tile_j: int, masked: bool,
+                single_j: bool):
     # Row inputs (ts/mask) are passed un-blocked so tile_j can be < 128
     # (a (1, tile) block is only legal when tile is a multiple of 128).
     j_off = pl.program_id(1) * tile_j
     t1 = tsc_ref[:, 0:1]
-    t2 = tsr_ref[0:1, pl.ds(j_off, tile_j)]
+    t2 = cov_pallas.row_slice(tsr_ref, j_off, tile_j, single_j)
     dt = t1 - t2
     adt = jnp.abs(dt)
     M = (1 << depth_cap) - 1
@@ -124,7 +125,7 @@ def _bwd_kernel(nt_ref, par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref,
 
     kbar = kbar_ref[:, :]
     if masked:
-        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, pl.ds(j_off, tile_j)]
+        m2 = mkc_ref[:, 0:1] * cov_pallas.row_slice(mkr_ref, j_off, tile_j, single_j)
         kbar = kbar * m2
 
     i = pl.program_id(0)
@@ -268,10 +269,11 @@ def _acc_dyn(acc_ref, idx, value):
 def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
                      par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref, kbar_ref,
                      pbar_ref, val_ref, adj_ref, acc_ref, *, tile_i: int,
-                     tile_j: int, masked: bool, n_acc: int):
+                     tile_j: int, masked: bool, n_acc: int,
+                     single_j: bool):
     j_off = pl.program_id(1) * tile_j
     t1 = tsc_ref[:, 0:1]
-    t2 = tsr_ref[0:1, pl.ds(j_off, tile_j)]
+    t2 = cov_pallas.row_slice(tsr_ref, j_off, tile_j, single_j)
     dt = t1 - t2
     adt = jnp.abs(dt)
     A = tlen_ref[0, 0]
@@ -342,7 +344,7 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
 
     kbar = kbar_ref[:, :]
     if masked:
-        m2 = mkc_ref[:, 0:1] * mkr_ref[0:1, pl.ds(j_off, tile_j)]
+        m2 = mkc_ref[:, 0:1] * cov_pallas.row_slice(mkr_ref, j_off, tile_j, single_j)
         kbar = kbar * m2
 
     i_t = pl.program_id(0)
@@ -493,7 +495,8 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
     tslot, ttype, tlpos, trpos, tlen = cov_pallas.build_tape(node_type,
                                                              depth_cap)
     kernel = functools.partial(_bwd_kernel_tape, tile_i=tile_i,
-                               tile_j=tile, masked=masked, n_acc=n_acc)
+                               tile_j=tile, masked=masked, n_acc=n_acc,
+                               single_j=(N == tile))
     smem_i = lambda: pl.BlockSpec((1, M), lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM)
     gout = pl.pallas_call(
@@ -561,7 +564,8 @@ def _cov_grads(node_type, params_t, kbar, ts, mask, depth_cap: int,
     nIi = N // tile_i
     n_acc = M * C.MAX_PARAMS + 1   # param grads + noise grad
     kernel = functools.partial(_bwd_kernel, depth_cap=depth_cap,
-                               tile_i=tile_i, tile_j=tile, masked=masked)
+                               tile_i=tile_i, tile_j=tile, masked=masked,
+                               single_j=(N == tile))
     gout = pl.pallas_call(
         kernel,
         grid=(nIi, nI),
