@@ -65,6 +65,12 @@ CHANGEPOINT_SCALE = 1e-3
 MODEL_JITTER = 1e-5
 # Jitter for the sum-GP joint posterior (GP.jl:760).
 SUM_GP_JITTER = 1e-8
+# float32 deviation: on the f32 path the sum-GP joint gram needs a jitter
+# above the single-precision noise floor for its Cholesky pivots to stay
+# positive; predictive covariances from infer_gp_sum differ from the
+# reference's 1e-8 by up to ~1e-5 absolute on the diagonal there (float64
+# matches the reference exactly; see docs/api.md "Numerical deviations").
+SUM_GP_JITTER_F32 = 1e-5
 
 
 def _normalize(x) -> Tuple[float, ...]:
@@ -112,9 +118,38 @@ class GPConfig:
                            _normalize(self.node_dist_nocp))
         object.__setattr__(self, "node_dist_cp",
                            _normalize(self.node_dist_cp))
+        if self.max_depth == -1:
+            # Deviation from the reference (GP.jl:1119 max_depth=-1 is truly
+            # unbounded): fixed-shape tensor traces need a static cap, so the
+            # prior forces a leaf at depth `static_max_depth`. For the default
+            # config the clipped prior mass is ~6.1% at depth 5
+            # (tests/test_config.py quantifies it). warnings dedups by
+            # call site, so this fires once per process in practice.
+            import warnings
+            warnings.warn(
+                f"max_depth=-1 ('unbounded') is truncated at "
+                f"static_max_depth={self.static_max_depth} in the tensor-"
+                f"trace encoding: the prior forces a leaf at that depth, "
+                f"deviating from the reference's unbounded prior on deeper "
+                f"trees. Pass a larger static_max_depth to reduce the "
+                f"clipped mass.", UserWarning, stacklevel=3)
 
     def replace(self, **kw) -> "GPConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def cache_key(self) -> tuple:
+        """Canonical hashable identity for keying compiled-closure caches.
+
+        `id(config)` is unsafe: a GC'd config's id can be recycled by a
+        different config, silently returning functions closed over stale
+        tables. Content-keyed caching is exact.
+        """
+        prior_key = tuple(sorted(
+            (k, tuple(sorted(v.items()))) for k, v in self.prior.items()))
+        return (self.node_dist_leaf, self.node_dist_nocp, self.node_dist_cp,
+                self.max_branch, self.max_depth, self.changepoints,
+                self.noise, prior_key, self.static_max_depth)
 
     @property
     def depth_cap(self) -> int:

@@ -28,6 +28,12 @@ from autogp_tpu import config as C
 
 LOG2PI = math.log(2.0 * math.pi)
 
+# K-sized contractions on TPU must run at HIGHEST precision: the default
+# is single-pass bf16 (~7e-5 rel error), which degrades LML gradients and
+# can reintroduce tiny negative eigenvalues in conditional covariances
+# (CLAUDE.md invariant). No-op on CPU float64.
+HI = jax.lax.Precision.HIGHEST
+
 
 # ---------------------------------------------------------------------------
 # Static heap helpers
@@ -341,8 +347,8 @@ def solve_lower_blocked(L, x, block: int = 128):
         lo, hi = k * block, (k + 1) * block
         rhs = x[lo:hi]
         if k > 0:
-            rhs = rhs - L[lo:hi, :lo] @ alpha[:lo]
-        alpha = alpha.at[lo:hi].set(Wd[k] @ rhs)
+            rhs = rhs - jnp.matmul(L[lo:hi, :lo], alpha[:lo], precision=HI)
+        alpha = alpha.at[lo:hi].set(jnp.matmul(Wd[k], rhs, precision=HI))
     return alpha
 
 
@@ -358,7 +364,7 @@ def _mvn_logpdf_masked_fwd(K, x, mask):
         # backward pass reuses Linv for K^-1 = Linv^T Linv — all MXU work,
         # no sequential triangular solves anywhere in the grad path.
         Linv = tri_inv_blocked(L)
-        alpha = Linv @ xm
+        alpha = jnp.matmul(Linv, xm, precision=HI)
         res = (Linv, alpha, mask)
     else:
         alpha = jax.scipy.linalg.solve_triangular(L, xm, lower=True)
@@ -372,8 +378,8 @@ def _mvn_logpdf_masked_bwd(res, g):
     N = Lres.shape[0]
     if _use_blocked_inv(N):
         Linv = Lres
-        beta = Linv.T @ alpha
-        Kinv = Linv.T @ Linv
+        beta = jnp.matmul(Linv.T, alpha, precision=HI)
+        Kinv = jnp.matmul(Linv.T, Linv, precision=HI)
     else:
         beta = jax.scipy.linalg.solve_triangular(Lres, alpha, lower=True,
                                                  trans=1)
@@ -448,8 +454,8 @@ def posterior_mvn_masked(node_type, params, noise, ts, xs, mask, ts_pred,
     L21 = L[n:, :n]
     L22 = L[n:, n:]
     alpha = jax.scipy.linalg.solve_triangular(L11, xs * mask, lower=True)
-    mu = L21 @ alpha
-    cov = L22 @ L22.T
+    mu = jnp.matmul(L21, alpha, precision=HI)
+    cov = jnp.matmul(L22, L22.T, precision=HI)
     cov = 0.5 * (cov + cov.T)
     return mu, cov
 
@@ -503,7 +509,7 @@ def infer_gp_sum_from_blocks(Ktt, Ktp, Kpp, noise, xs, mask,
     # Unlike the explicit Saa - Sab Sbb^-1 Sab^T this cannot go
     # indefinite (see posterior_mvn_masked).
     jit = (C.SUM_GP_JITTER if Saa.dtype == jnp.float64
-           else max(C.SUM_GP_JITTER, 1e-5))
+           else max(C.SUM_GP_JITTER, C.SUM_GP_JITTER_F32))
     Saa = Saa + jit * jnp.eye(d_a, dtype=Saa.dtype)
 
     J = jnp.concatenate([
@@ -514,8 +520,8 @@ def infer_gp_sum_from_blocks(Ktt, Ktp, Kpp, noise, xs, mask,
     L21 = L[n:, :n]
     L22 = L[n:, n:]
     alpha = jax.scipy.linalg.solve_triangular(L11, xs * mask, lower=True)
-    mu = L21 @ alpha
-    cov = L22 @ L22.T
+    mu = jnp.matmul(L21, alpha, precision=HI)
+    cov = jnp.matmul(L22, L22.T, precision=HI)
     cov = 0.5 * (cov + cov.T)
     return mu, cov
 

@@ -216,7 +216,7 @@ _opt_cache = {}
 
 
 def _optimize_batch_fn(cfg, tables, infer_noise, max_rounds):
-    sig = (id(cfg), infer_noise, max_rounds)
+    sig = (cfg.cache_key, infer_noise, max_rounds)
     if sig not in _opt_cache:
         def f(nts, pzs, nzs, data):
             def one(nt, pz, nz):
@@ -234,12 +234,29 @@ def _pad_pow2(k: int, minimum: int = 1) -> int:
     return max(minimum, 1 << math.ceil(math.log2(max(k, 1))))
 
 
+def sweep_bucket(cfg: C.GPConfig, max_depth: int) -> int:
+    """Single candidate-batch bucket covering a whole greedy depth sweep.
+
+    Every optimize_candidates call in fit_greedy pads to this size so the
+    sweep compiles ONE batched program (remote TPU compiles cost minutes;
+    per-bucket recompilation dominated config-3 wall-clock in round 1).
+    Upper bound: after d accepted steps the tree has <= d leaves and
+    <= 2d-1 nodes (move 2 adds one op + one leaf; move 1 replaces), so the
+    largest extension round enumerates at most
+    leaves*(L-1) + nodes*O*L candidates (Greedy.jl:416-432)."""
+    L = len(leaf_node_types(cfg))
+    O = len(op_node_types(cfg))
+    d = max(max_depth - 1, 1)
+    bound = max(L, d * (L - 1) + (2 * d - 1) * O * L)
+    return _pad_pow2(bound)
+
+
 def optimize_candidates(cands, nz0, data, cfg, tables, infer_noise,
-                        max_rounds=MAX_OPT):
+                        max_rounds=MAX_OPT, pad_to: Optional[int] = None):
     """Optimize a list of candidate structures in one vmapped program;
     returns (best_nt, best_pz, best_nz, best_lml, best_aic)."""
     k = len(cands)
-    pad = _pad_pow2(k)
+    pad = max(_pad_pow2(k), pad_to or 0)
     M_ = cfg.max_nodes
     nts = np.zeros((pad, M_), np.int32)
     pzs = np.zeros((pad, M_, C.MAX_PARAMS), np.float64)
@@ -258,7 +275,7 @@ def optimize_candidates(cands, nz0, data, cfg, tables, infer_noise,
 
 
 def greedy_search_initialize(data, cfg, tables, rng, nz0,
-                             infer_noise: bool):
+                             infer_noise: bool, pad_to=None):
     """Best single-leaf structure (Greedy.jl:389-414)."""
     cands = []
     M_ = cfg.max_nodes
@@ -268,11 +285,12 @@ def greedy_search_initialize(data, cfg, tables, rng, nz0,
         nt[0] = t
         pz[0] = _random_leaf_params(rng, t)
         cands.append((nt, pz))
-    return optimize_candidates(cands, nz0, data, cfg, tables, infer_noise)
+    return optimize_candidates(cands, nz0, data, cfg, tables, infer_noise,
+                               pad_to=pad_to)
 
 
 def greedy_search_extend(nt, pz, nz, aic, data, cfg, tables, rng,
-                         infer_noise: bool, verbose=False):
+                         infer_noise: bool, verbose=False, pad_to=None):
     """One extension round; keeps the argmin-AIC candidate iff it improves
     (Greedy.jl:416-441). Returns (nt, pz, nz, lml, aic, accepted)."""
     cands = enumerate_next_structures(nt, pz, cfg, rng)
@@ -281,7 +299,7 @@ def greedy_search_extend(nt, pz, nz, aic, data, cfg, tables, rng,
     if not cands:
         return nt, pz, nz, None, aic, False
     bnt, bpz, bnz, blml, baic = optimize_candidates(
-        cands, nz, data, cfg, tables, infer_noise)
+        cands, nz, data, cfg, tables, infer_noise, pad_to=pad_to)
     if baic < aic:
         return bnt, bpz, bnz, blml, baic, True
     return nt, pz, nz, None, aic, False
@@ -317,10 +335,11 @@ def fit_greedy(model, max_depth: Optional[int] = None,
     else:
         nz0 = float(M.untransform_param("noise", cfg.noise, cfg))
 
+    pad_to = sweep_bucket(cfg, max_depth)
     elapsed = 0.0
     t0 = _time.time()
     nt, pz, nz, lml, aic = greedy_search_initialize(
-        data, cfg, tables, rng, nz0, infer_noise)
+        data, cfg, tables, rng, nz0, infer_noise, pad_to=pad_to)
     elapsed += _time.time() - t0
 
     def set_model(nt, pz, nz, lml):
@@ -342,7 +361,7 @@ def fit_greedy(model, max_depth: Optional[int] = None,
         t0 = _time.time()
         nt, pz, nz, new_lml, new_aic, accepted = greedy_search_extend(
             nt, pz, nz, aic, data, cfg, tables, rng, infer_noise,
-            verbose=verbose)
+            verbose=verbose, pad_to=pad_to)
         elapsed += _time.time() - t0
         assert new_aic <= aic
         aic = new_aic

@@ -264,7 +264,7 @@ def smc_round_jit(cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
                   biased: bool, hmc_cfg: hmc_mod.HMCConfig,
                   infer_noise: bool, allow_resample: bool,
                   ess_threshold: float, adaptive_rejuvenation: bool):
-    sig = (id(cfg), n_mcmc, n_hmc, biased, hmc_cfg, infer_noise,
+    sig = (cfg.cache_key, n_mcmc, n_hmc, biased, hmc_cfg, infer_noise,
            allow_resample, ess_threshold, adaptive_rejuvenation)
     if sig not in _round_cache:
         def f(key, particles, data):
@@ -280,10 +280,17 @@ def smc_round_jit(cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
 # Driver (run_smc_anneal_data, :143-273)
 # ---------------------------------------------------------------------------
 
-def validate_particles(particles: Particles, cfg: C.GPConfig):
+def validate_particles(particles: Particles, cfg: C.GPConfig,
+                       tables=None, key=None):
     """Dynamic self-checks (the reference's check=true analog:
     Gen.check_observations + structural validity; observations cannot
-    change here by construction, so we assert trace integrity instead)."""
+    change here by construction, so we assert trace integrity instead).
+
+    When `tables` (and optionally `key`) are given, additionally runs the
+    involution round-trip check (Gen.check_round_trip,
+    inference_smc_anneal_depth.jl:59-87) on every particle: one random
+    subtree-replace, detach, and attach move each, asserting the reverse
+    move restores the trace exactly."""
     nts = np.asarray(particles.node_type)
     M_ = nts.shape[1]
     assert np.isfinite(np.asarray(particles.log_weights)).all(), \
@@ -298,6 +305,29 @@ def validate_particles(particles: Particles, cfg: C.GPConfig):
         bad_cp = (nts[:, s] == C.CHANGEPOINT) & \
             (nts[:, par] != C.CHANGEPOINT)
         assert not bad_cp.any(), "ChangePoint below a non-ChangePoint"
+    if tables is not None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, particles.n_particles)
+        ok = np.asarray(_roundtrip_batch_jit(cfg)(
+            keys, particles.node_type, particles.params))
+        assert ok[:, 0].all(), "subtree-replace round trip failed"
+        assert ok[:, 1].all(), "detach round trip failed"
+        assert ok[:, 2].all(), "attach round trip failed"
+
+
+_roundtrip_cache = {}
+
+
+def _roundtrip_batch_jit(cfg: C.GPConfig):
+    sig = cfg.cache_key
+    if sig not in _roundtrip_cache:
+        from autogp_tpu.inference import check as check_mod
+        tables = M.prior_tables(cfg)
+        _roundtrip_cache[sig] = jax.jit(jax.vmap(
+            lambda k, nt, pz: check_mod.roundtrip_all(
+                k, nt, pz, tables, changepoints=cfg.changepoints)))
+    return _roundtrip_cache[sig]
 
 
 def run_smc_anneal_data(
@@ -385,7 +415,8 @@ def run_smc_anneal_data(
             print(f"accepted MCMC[{acc.sum()}/{n_particles * n_mcmc[i]}] "
                   f"per-particle {acc.tolist()}")
         if check:
-            validate_particles(particles, cfg)
+            key, k_check = jax.random.split(key)
+            validate_particles(particles, cfg, tables=tables, key=k_check)
         if callback_fn is not None:
             callback_fn(particles=particles, ts=ts, xs=xs,
                         permutation=permutation, schedule=schedule,

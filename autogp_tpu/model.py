@@ -317,11 +317,11 @@ def lml_value_and_noise_grad(node_type, params_z, noise_z, ts, xs, mask,
     L = gp_math._chol(Km)
     Linv = gp_math.tri_inv_blocked(L)
     xm = xs * mask
-    alpha = Linv @ xm
+    alpha = jnp.matmul(Linv, xm, precision=gp_math.HI)
     n = jnp.sum(mask)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
     val = -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
-    beta = Linv.T @ alpha
+    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.HI)
     tr_active = jnp.sum(Linv * Linv) - (N - n)
     dlml_dnoise = -0.5 * (tr_active - jnp.sum(beta * beta))
     # d noise / d noise_z: log-normal transform + constant jitter.

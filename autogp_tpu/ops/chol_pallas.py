@@ -107,10 +107,16 @@ def _panel_kernel(in_ref, hbm_out_ref, out_ref, sem_in, sem_out, *,
 
 def _pick_pp(P: int, B: int, m: int, budget_bytes=9 * 2 ** 20) -> int:
     """Particles per program: ONE resident [pp, B, m] scratch window plus
-    ~its size again of in-kernel temporaries."""
+    ~its size again of in-kernel temporaries.
+
+    Must return a divisor of P: the launch uses grid=(P // pp,), so a
+    non-divisor would silently leave the trailing P mod pp particles'
+    output rows uninitialized (garbage factors, wrong LMLs)."""
     pp = P
     while pp > 1 and pp * B * m * 4 > budget_bytes:
         pp //= 2
+    while P % pp != 0:  # largest divisor of P at or under the budget pick
+        pp -= 1
     return pp
 
 
@@ -118,6 +124,7 @@ def _panel_factor(panel_t, interpret: bool = False, subw: int = None):
     """Factor a batch of transposed panels [P, B, m] -> [P, B, m]."""
     P, B, m = panel_t.shape
     pp = _pick_pp(P, B, m)
+    assert P % pp == 0, (P, pp)
     # With the bigger particle window, shrink the sub-panel strip so the
     # per-step [pp, W, m] temporaries fit beside the 8MB scratch.
     w_default = SUBW if pp * B * m * 4 <= 4 * 2 ** 20 else SUBW // 2

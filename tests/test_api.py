@@ -264,6 +264,48 @@ def test_predict_sum_dataframe():
         c.mean[idx["F"][0]] + c.mean[idx["F"][1]], rtol=1e-5, atol=1e-6)
 
 
+def test_predict_mvn_sum_device_matches_host_blocks():
+    """The on-device decomposition path (tensor-encoded components,
+    balanced sums, jitted GP-sum) must match the host-side float64 block
+    construction it replaced (VERDICT r1 #7)."""
+    m, ds, y = make_model(n=25, n_particles=3)
+    ds_pred = np.linspace(8, 12, 6)
+    mix, idx = autogp_tpu.predict_mvn_sum(m, ds_pred, GP.Periodic)
+
+    ts = m._ds_numeric()
+    xs = m._y_numeric()
+    tsp = m._ds_numeric(ds_pred)
+    n, p = len(ts), len(tsp)
+    noises = m.observation_noise_variances(reparameterize=False)
+    kernels = m.covariance_kernels(reparameterize=False)
+    for i, k in enumerate(kernels):
+        nodes = list(GP.split_kernel_sop(k, GP.Periodic))
+        Ktt = np.stack([GP.eval_cov(kk, ts) for kk in nodes])
+        Ktp = np.stack([GP.eval_cov(kk, ts, tsp) for kk in nodes])
+        Kpp = np.stack([GP.eval_cov(kk, tsp) for kk in nodes])
+        mu, cov = gp_math.infer_gp_sum_from_blocks(
+            jnp.asarray(Ktt), jnp.asarray(Ktp), jnp.asarray(Kpp),
+            noises[i], jnp.asarray(xs), jnp.ones(n))
+        mu = np.asarray(mu, np.float64)
+        cov = np.asarray(cov, np.float64)
+        mu, cov = m.y_transform.unapply_mean_var(mu, cov)
+        mu[idx["F"][0]] += m.y_transform.intercept / m.y_transform.slope
+        c = mix.components[i]
+        np.testing.assert_allclose(c.mean, mu, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(c.cov, cov, rtol=1e-7, atol=1e-12)
+
+
+def test_balance_sums_preserves_covariance():
+    k = (GP.Periodic(0.7, 0.3, 1.1) + GP.Linear(0.2, 0.5, 0.9)
+         + GP.GammaExponential(0.4, 0.6, 0.8) + GP.Constant(0.3)
+         + GP.SquaredExponential(0.5, 1.2))
+    b = api._balance_sums(k)
+    assert b.depth < k.depth
+    ts = np.linspace(0, 3, 17)
+    np.testing.assert_allclose(GP.eval_cov(b, ts), GP.eval_cov(k, ts),
+                               rtol=1e-12)
+
+
 def test_schedules():
     assert Schedule.linear_schedule(100, 0.25) == [25, 50, 75, 100]
     assert Schedule.linear_schedule(10, 0.33) == [3, 6, 10]

@@ -61,3 +61,34 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     g.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(
+    not (__import__("os").environ.get("AUTOGP_MULTIHOST") == "1"
+         and jax.process_count() > 1),
+    reason="multi-host skeleton: set AUTOGP_MULTIHOST=1 and run one "
+           "process per host after jax.distributed.initialize() "
+           "(parallel/README.md)")
+def test_multihost_skeleton():
+    """2+ process SMC round over a process-spanning mesh (DCN collectives
+    only at resampling). The caller is responsible for
+    jax.distributed.initialize() before JAX init."""
+    P = 4 * jax.device_count()  # global particle count
+    rng = np.random.default_rng(0)
+    n = 24
+    ts = np.linspace(0, 1, n)
+    xs = np.sin(8 * ts) + 0.1 * rng.standard_normal(n)
+    data = smc.make_dataset(ts, xs, pad_to=32)
+    # Initialize ON-DEVICE under the global sharding: every process runs
+    # the same program; jax places each particle's generate on its shard.
+    m = pmesh.particle_mesh()
+    parts = smc.initialize(jax.random.PRNGKey(0), P, data, CFG, TAB)
+    parts = pmesh.shard_particles(parts, m)
+    data = pmesh.replicate_dataset(data, m)
+    hc = hmc_mod.HMCConfig(n_exit=1, L_param=3, L_noise=3)
+    fn = smc.smc_round_jit(CFG, TAB, n_mcmc=1, n_hmc=1, biased=False,
+                           hmc_cfg=hc, infer_noise=True,
+                           allow_resample=True, ess_threshold=P / 2,
+                           adaptive_rejuvenation=False)
+    out, _ = fn(jax.random.PRNGKey(7), parts, data)
+    assert np.isfinite(np.asarray(out.log_weights)).all()
