@@ -153,25 +153,42 @@ def cholesky_batched(K, block: int = BLOCK, interpret: bool = False,
     """Lower-Cholesky of a batch [P, N, N] of SPD matrices.
 
     N must be a multiple of `block`. Reads only the lower triangle.
-    """
+
+    Right-looking blocked factorization where ONLY the [B, B] diagonal
+    block runs the sequential Pallas column recurrence; the off-diagonal
+    strip is L21 = A21 L11^-T formed against the blocked triangular
+    inverse of the factored diagonal, and the trailing update
+    A22 -= L21 L21^T — both plain batched MXU matmuls. Compared to
+    factoring the whole [B, N-r0] panel in-kernel this cuts the
+    sequential per-column work from [pp, W, m<=N] strips to [pp, W, B]
+    and lets ~4x more particles share one VMEM window (the panel is B^2,
+    not B*m), so the latency-bound column recurrence runs ~4x fewer
+    sequential program iterations."""
     P, N, _ = K.shape
     assert N % block == 0, (N, block)
     nb = N // block
     A = K
     cols = []
+    HI = jax.lax.Precision.HIGHEST
     for k in range(nb):
         r0 = k * block
-        m = N - r0
-        panel_t = jnp.swapaxes(A[:, :, :block], 1, 2)     # [P, B, m]
-        Lp_t = _panel_factor(panel_t, interpret=interpret, subw=subw)
-        Lp = jnp.swapaxes(Lp_t, 1, 2)                     # [P, m, B]
+        diag_t = jnp.swapaxes(A[:, :block, :block], 1, 2)  # [P, B, B]
+        Lkk_t = _panel_factor(diag_t, interpret=interpret, subw=subw)
+        Lkk = jnp.swapaxes(Lkk_t, 1, 2)                    # [P, B, B]
+        if k + 1 < nb:
+            from autogp_tpu import gp_math
+            Linv = gp_math.tri_inv_blocked(Lkk)            # [P, B, B]
+            A21 = A[:, block:, :block]                     # [P, m-B, B]
+            L21 = jnp.einsum("pij,pkj->pik", A21, Linv,
+                             preferred_element_type=K.dtype, precision=HI)
+            A = A[:, block:, block:] - jnp.einsum(
+                "pib,pjb->pij", L21, L21,
+                preferred_element_type=K.dtype, precision=HI)
+            Lp = jnp.concatenate([Lkk, L21], axis=1)       # [P, N-r0, B]
+        else:
+            Lp = Lkk
         cols.append(jnp.concatenate(
             [jnp.zeros((P, r0, block), K.dtype), Lp], axis=1))
-        if k + 1 < nb:
-            Bm = Lp[:, block:, :]                         # [P, m-B, B]
-            A = A[:, block:, block:] - jnp.einsum(
-                "pib,pjb->pij", Bm, Bm, preferred_element_type=K.dtype,
-                precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate(cols, axis=2)
 
 
