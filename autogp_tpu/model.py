@@ -273,7 +273,9 @@ def lml(node_type, params_z, noise_z, ts, xs, mask, config: C.GPConfig,
         from autogp_tpu.ops import cov_pallas_vjp
         K = cov_pallas_vjp.cov_matrix_diff(node_type, params_t, noise, ts,
                                            mask, tables.depth_cap)
-        return gp_math.mvn_logpdf_masked_cvjp(K, xs, mask)
+        # The assembly kernel already emits the padded-identity gram;
+        # pregram skips a redundant full-matrix masking pass.
+        return gp_math.mvn_logpdf_masked_cvjp(K, xs, mask, True)
     return gp_math.lml_masked(node_type, params_t, noise, ts, xs, mask,
                               tables.depth_cap)
 
@@ -319,7 +321,7 @@ def lml_value_and_noise_grad(node_type, params_z, noise_z, ts, xs, mask,
     xm = xs * mask
     alpha = jnp.matmul(Linv, xm, precision=gp_math.HI)
     n = jnp.sum(mask)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+    logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
     val = -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
     beta = jnp.matmul(Linv.T, alpha, precision=gp_math.HI)
     tr_active = jnp.sum(Linv * Linv) - (N - n)

@@ -28,7 +28,10 @@ def log(*a):
 N = 1024
 P = 64
 WARMUP = 3
-ITERS = 10
+# Deep enough to pipeline past the remote-relay dispatch latency
+# (~3 ms/call at depth 10); 32 in-flight batches measure steady-state
+# device throughput.
+ITERS = 32
 
 
 def tpu_throughput():
