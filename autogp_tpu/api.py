@@ -249,7 +249,7 @@ def mcmc_structure(model: GPModel, n_mcmc: int, n_hmc: int,
     hc = _hmc_config(hmc_config, default_n_exit=2)
     infer_noise = model.config.noise is None
     key = _next_key()
-    particles, n_acc = _rejuvenate_jit(
+    particles, n_acc, _n_sweeps = _rejuvenate_jit(
         model.config, model.tables, n_mcmc, n_hmc, biased, hc, infer_noise
     )(key, model.particles, data)
     model.particles = particles
@@ -306,7 +306,7 @@ def mcmc_parameters(model: GPModel, n_hmc: int, hmc_config=None,
             return hmc_mod.rejuvenate_parameters(
                 k, nt, pz, nz, lml, d, model.config, model.tables, n_hmc,
                 hc, infer_noise)
-        pz, nz, lml, n_acc = jax.vmap(one)(
+        pz, nz, lml, n_acc, _sw = jax.vmap(one)(
             jax.random.split(key, P), particles.node_type,
             particles.params, particles.noise_z, particles.lml)
         return particles._replace(params=pz, noise_z=nz, lml=lml), n_acc

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from autogp_tpu import config as C
+from autogp_tpu import gp_math
 from autogp_tpu import model as M
 from autogp_tpu import tree as T
 
@@ -90,11 +91,22 @@ def hmc_noise_step(key, node_type, params_z, noise_z, lml_cached, data,
 
     lp_params = jnp.sum(M.normal_logpdf(params_z) * pmask)
 
+    N = ts.shape[0]
+    use_k0 = gp_math._use_blocked_inv(N)
+    # Noise only shifts the active diagonal: assemble the gram ONCE per
+    # trajectory; each leapfrog step pays Cholesky + trace, not assembly.
+    K0 = M.assemble_K0(node_type, params_z, ts, mask, cfg, tables) \
+        if use_k0 else None
+
     def U_vg(nz):
         """((U, lml), dU/dnz) via the analytic noise gradient — the
         scalar-gradient leapfrog skips the assembly-backward kernel."""
-        lml, glml = M.lml_value_and_noise_grad(
-            node_type, params_z, nz, ts, xs, mask, cfg, tables)
+        if use_k0:
+            lml, glml = M.lml_value_and_noise_grad_from_K0(
+                K0, nz, xs, mask, cfg)
+        else:
+            lml, glml = M.lml_value_and_noise_grad(
+                node_type, params_z, nz, ts, xs, mask, cfg, tables)
         u = -(lp_params + M.normal_logpdf(nz) + lml)
         gu = -(-nz + glml)
         return (u, lml), gu
@@ -142,7 +154,7 @@ def rejuvenate_parameters(key, node_type, params_z, noise_z, lml_cached,
     while staying vmappable.
     """
     def body(carry):
-        (params_z, noise_z, lml, n_reject, n_accept, it, alive,
+        (params_z, noise_z, lml, n_reject, n_accept, n_sweeps, it, alive,
          key) = carry
         key, k1, k2 = jax.random.split(key, 3)
         p_new, lml_p, acc_p = hmc_params_step(
@@ -158,23 +170,27 @@ def rejuvenate_parameters(key, node_type, params_z, noise_z, lml_cached,
             lml = jnp.where(alive, lml_n, lml)
         acc_eff = alive & acc_p
         n_accept = n_accept + jnp.where(acc_eff, 1, 0)
+        n_sweeps = n_sweeps + jnp.where(alive, 1, 0)
         n_reject = jnp.where(acc_eff, 0, n_reject + jnp.where(alive, 1, 0))
         it = it + 1
         alive = alive & (n_reject < hmc.n_exit)
-        return (params_z, noise_z, lml, n_reject, n_accept, it, alive, key)
+        return (params_z, noise_z, lml, n_reject, n_accept, n_sweeps, it,
+                alive, key)
 
     def cond(carry):
         *_, it, alive, _key = carry
         return alive & (it < n_hmc)
 
     if n_hmc == 0:
-        return params_z, noise_z, lml_cached, jnp.asarray(0, jnp.int32)
+        zero = jnp.asarray(0, jnp.int32)
+        return params_z, noise_z, lml_cached, zero, zero
     init = (params_z, noise_z, lml_cached,
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32), jnp.asarray(enabled), key)
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(enabled), key)
     # while_loop instead of a masked scan: with n_exit small (fit_smc
     # defaults n_exit=1) most particles stop after a few sweeps, and the
     # batched loop only runs until the LAST live particle exits.
-    (params_z, noise_z, lml, _, n_accept, _, _, _) = jax.lax.while_loop(
-        cond, body, init)
-    return params_z, noise_z, lml, n_accept
+    (params_z, noise_z, lml, _, n_accept, n_sweeps, _, _, _) = \
+        jax.lax.while_loop(cond, body, init)
+    return params_z, noise_z, lml, n_accept, n_sweeps

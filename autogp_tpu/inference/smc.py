@@ -187,7 +187,7 @@ def rejuvenate_structure(key, particles: Particles, data: Dataset,
     P = particles.n_particles
 
     def body(carry, k):
-        nt, pz, nz, lml, n_acc = carry
+        nt, pz, nz, lml, n_acc, n_sweeps = carry
         k_mh, k_hmc = jax.random.split(k)
         res = mh_all(jax.random.split(k_mh, P), nt, pz, nz, lml)
         nt, pz, lml = res.node_type, res.params, res.lml
@@ -195,27 +195,30 @@ def rejuvenate_structure(key, particles: Particles, data: Dataset,
         if n_hmc > 0:
             def run_hmc(args):
                 nt, pz, nz, lml = args
-                p2, n2, l2, _ = hmc_all(jax.random.split(k_hmc, P), nt, pz,
-                                        nz, lml, res.accepted)
-                return p2, n2, l2
+                p2, n2, l2, _, sw = hmc_all(jax.random.split(k_hmc, P), nt,
+                                            pz, nz, lml, res.accepted)
+                return p2, n2, l2, sw
 
             def skip_hmc(args):
                 _, pz, nz, lml = args
-                return pz, nz, lml
+                return pz, nz, lml, jnp.zeros((P,), jnp.int32)
 
-            pz, nz, lml = jax.lax.cond(jnp.any(res.accepted), run_hmc,
-                                       skip_hmc, (nt, pz, nz, lml))
+            pz, nz, lml, sw = jax.lax.cond(jnp.any(res.accepted), run_hmc,
+                                           skip_hmc, (nt, pz, nz, lml))
+            n_sweeps = n_sweeps + sw
         n_acc = n_acc + res.accepted.astype(jnp.int32)
-        return (nt, pz, nz, lml, n_acc), None
+        return (nt, pz, nz, lml, n_acc, n_sweeps), None
 
     init = (particles.node_type, particles.params, particles.noise_z,
-            particles.lml, jnp.zeros((P,), jnp.int32))
+            particles.lml, jnp.zeros((P,), jnp.int32),
+            jnp.zeros((P,), jnp.int32))
     keys = jax.random.split(key, max(n_mcmc, 1))
     if n_mcmc == 0:
-        return particles, jnp.zeros((P,), jnp.int32)
-    (nt, pz, nz, lml, n_acc), _ = jax.lax.scan(body, init, keys)
+        return particles, jnp.zeros((P,), jnp.int32), \
+            jnp.zeros((P,), jnp.int32)
+    (nt, pz, nz, lml, n_acc, n_sweeps), _ = jax.lax.scan(body, init, keys)
     return particles._replace(node_type=nt, params=pz, noise_z=nz,
-                              lml=lml), n_acc
+                              lml=lml), n_acc, n_sweeps
 
 
 # ---------------------------------------------------------------------------
@@ -244,17 +247,19 @@ def smc_round(key, particles: Particles, data: Dataset, cfg: C.GPConfig,
                                         infer_noise)
 
         def norej(p):
-            return p, jnp.zeros((p.n_particles,), jnp.int32)
+            zero = jnp.zeros((p.n_particles,), jnp.int32)
+            return p, zero, zero
 
-        particles, n_acc = jax.lax.cond(resampled, rej, norej, particles)
+        particles, n_acc, n_sweeps = jax.lax.cond(resampled, rej, norej,
+                                                  particles)
         rejuvenated = resampled
     else:
-        particles, n_acc = rejuvenate_structure(
+        particles, n_acc, n_sweeps = rejuvenate_structure(
             k_rej, particles, data, cfg, tables, n_mcmc, n_hmc, biased,
             hmc_cfg, infer_noise)
         rejuvenated = jnp.asarray(True)
     return particles, {"resampled": resampled, "rejuvenated": rejuvenated,
-                       "mh_accepted": n_acc}
+                       "mh_accepted": n_acc, "hmc_sweeps": n_sweeps}
 
 
 _round_cache = {}
@@ -376,7 +381,7 @@ def run_smc_anneal_data(
     # Initialize from the prior on empty data (:180-190).
     t0 = _time.time()
     key, k_init = jax.random.split(key)
-    data0 = make_dataset(ts, xs, n=0, pad_to=bucket_size(n), dtype=dtype)
+    data0 = make_dataset(ts, xs, n=0, pad_to=bucket_size(1), dtype=dtype)
     particles = initialize(k_init, n_particles, data0, cfg, tables,
                            dtype=dtype)
     jax.block_until_ready(particles)
@@ -388,12 +393,16 @@ def run_smc_anneal_data(
                     elapsed=elapsed, rejuvenated=False, resampled=False,
                     verbose=verbose)
 
-    bucket = bucket_size(n)
     for i, step in enumerate(schedule):
         if verbose:
             print(f"Running SMC round {step}/{schedule[-1]}")
         t0 = _time.time()
-        data = make_dataset(ts, xs, n=step, pad_to=bucket, dtype=dtype)
+        # Per-step power-of-two buckets: early annealing rounds run at
+        # their prefix's padded size instead of the full-data bucket
+        # (O(step^3) Cholesky work, not O(n^3)); at most log2(n) distinct
+        # programs compile across the whole schedule.
+        data = make_dataset(ts, xs, n=step, pad_to=bucket_size(step),
+                            dtype=dtype)
         allow_resample = step < schedule[-1]
         ess_threshold = (n_particles / 2 if adaptive_resampling
                          else float(n_particles))

@@ -165,7 +165,7 @@ def run_smc_anneal_depth(
         # Rejuvenate under the current config.
         if not adaptive_rejuvenation or bool(resampled):
             key, k_rej = jax.random.split(key)
-            particles, _ = jax.jit(
+            particles, _, _ = jax.jit(
                 lambda k, p: smc.rejuvenate_structure(
                     k, p, data, cfg_new, tables_new, n_mcmc, n_hmc, biased,
                     hmc_cfg, infer_noise))(k_rej, particles)

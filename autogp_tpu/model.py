@@ -280,6 +280,55 @@ def lml(node_type, params_z, noise_z, ts, xs, mask, config: C.GPConfig,
                               tables.depth_cap)
 
 
+def assemble_K0(node_type, params_z, ts, mask, config: C.GPConfig,
+                tables: PriorTables, pallas=None):
+    """Noise-free masked gram K0 (padded rows/cols = identity).
+
+    The noise-HMC leapfrog only shifts the active diagonal
+    (K(nz) = K0 + noise(nz) * diag(mask)), so K0 is constant along a
+    trajectory and is assembled ONCE (hmc.hmc_noise_step); each step then
+    pays only the Cholesky, not the covariance assembly.
+    """
+    if pallas is None:
+        from autogp_tpu import backend
+        pallas = backend.use_pallas()
+    params_t = transform_params(node_type, params_z, tables.ttable)
+    zero = jnp.asarray(0.0, params_z.dtype)
+    if pallas:
+        from autogp_tpu.ops import cov_pallas
+        return cov_pallas.cov_matrix_tape(node_type, params_t, zero, ts,
+                                          mask, tables.depth_cap)
+    K = gp_math.eval_cov(node_type, params_t, ts, ts, tables.depth_cap)
+    K = 0.5 * (K + K.T)
+    return gp_math.masked_gram(K, mask)
+
+
+def lml_value_and_noise_grad_from_K0(K0, noise_z, xs, mask,
+                                     config: C.GPConfig):
+    """(lml, d lml/d noise_z) given the precomputed noise-free gram.
+
+    Same math as lml_value_and_noise_grad's blocked-inverse branch;
+    assembly is hoisted out of the leapfrog loop (see assemble_K0).
+    """
+    N = K0.shape[0]
+    noise = transform_noise(noise_z, config)
+    eye = jnp.eye(N, dtype=K0.dtype)
+    Km = K0 + (noise * mask) * eye
+    L = gp_math._chol(Km)
+    Linv = gp_math.tri_inv_blocked(L)
+    xm = xs * mask
+    alpha = jnp.matmul(Linv, xm, precision=gp_math.HI)
+    n = jnp.sum(mask)
+    logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
+    val = -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
+    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.HI)
+    tr_active = jnp.sum(Linv * Linv) - (N - n)
+    dlml_dnoise = -0.5 * (tr_active - jnp.sum(beta * beta))
+    p = config.prior["wildcard"]
+    dnoise_dz = p["sigma"] * (noise - C.MODEL_JITTER)
+    return val, dlml_dnoise * dnoise_dz
+
+
 def lml_value_and_noise_grad(node_type, params_z, noise_z, ts, xs, mask,
                              config: C.GPConfig, tables: PriorTables,
                              pallas=None):

@@ -105,7 +105,8 @@ def _panel_kernel(in_ref, hbm_out_ref, out_ref, sem_in, sem_out, *,
     dma_out.wait()
 
 
-def _pick_pp(P: int, B: int, m: int, budget_bytes=9 * 2 ** 20) -> int:
+def _pick_pp(P: int, B: int, m: int, budget_bytes=4 * 2 ** 20 + 2 ** 19
+             ) -> int:
     """Particles per program: ONE resident [pp, B, m] scratch window plus
     ~its size again of in-kernel temporaries.
 

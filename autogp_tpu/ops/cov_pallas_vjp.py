@@ -477,16 +477,17 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                     interpret: bool = False):
     """Tape-driven gradient launch; returns (params_bar [M,3], noise_bar).
 
-    Default tiles 64x256 measured best at N=1024/P=64 on v5e (9.8 ms vs
-    13.0 for 64x128, 9.9 for 128x128): unlike the per-slot kernel, the
-    tape kernel tolerates 4MB of value/adjoint scratch."""
+    Default tiles 128x256 measured best at N=1024/P=64/M=31 on v5e
+    (4.66 ms vs 6.19 for 64x256, 6.41 for 128x128, 6.17 for 32x512):
+    the tape kernel tolerates the 8.1MB value/adjoint scratch, and the
+    2x-larger tiles halve the per-tile tape-loop overhead."""
     M = node_type.shape[0]
     N = ts.shape[0]
     if tile is None:
         tile = 256 if N % 256 == 0 else cov_pallas._pick_tile(N)
     if tile_i is None:
         tile_i = tile
-        while 2 * M * tile_i * tile * 4 > 4.5 * 2 ** 20 and tile_i > 8:
+        while 2 * M * tile_i * tile * 4 > 8.5 * 2 ** 20 and tile_i > 8:
             tile_i //= 2
     dt = params_t.dtype
     nI = N // tile

@@ -218,8 +218,43 @@ print((time.time() - t0) / 2)
            tpu_s, cpu_s, "s", "cpu=jax-f64 1-core (generous), *extrap")
 
 
+def _cpu_lml_seconds(particles, cfg, ts, n_probe=4):
+    """Measured per-eval seconds of the reference-equivalent CPU LML
+    (float64 numpy covariance + scipy Cholesky) on the given kernels."""
+    from scipy.linalg import cho_factor, cho_solve
+    from autogp_tpu import GP
+    from autogp_tpu import model as M
+    from autogp_tpu import tree as T
+    kernels = []
+    noises = []
+    for i in range(n_probe):
+        kernels.append(T.tensor_to_node(np.asarray(particles.node_type[i]),
+                                        np.asarray(particles.params[i]),
+                                        cfg))
+        noises.append(float(M.transform_noise(
+            float(particles.noise_z[i]), cfg)))
+    xs = np.sin(ts)
+    t0 = time.time()
+    for k, nv in zip(kernels, noises):
+        K = GP.compute_cov_matrix_vectorized(k, nv, ts)
+        c, lower = cho_factor(K, lower=True)
+        cho_solve((c, lower), xs)
+    return (time.time() - t0) / n_probe
+
+
 def config4and5():
-    """Full SMC N=1000 P=64, and streaming online step P=128."""
+    """Full SMC N=1000 P=64, and streaming online step P=128.
+
+    The CPU side is an operation-count accounting fed by (a) MEASURED
+    per-size float64 numpy/scipy LML costs on this host (the identical
+    per-particle computation the Julia reference performs) and (b) the
+    ACTUAL MH-acceptance counts of the run (captured from the jitted
+    round stats). Gradient sweeps are charged at the standard
+    reverse-mode bound of 3x a forward eval (GENEROUS to the CPU:
+    Gen.jl's dynamic-DSL AD is slower), with HMC sweep counts per
+    accepted move of E[sweeps] = 2 (n_exit=1, ~0.5 accept rate), each
+    sweep = L param-leapfrogs + L noise-leapfrogs (L=10).
+    """
     import jax
     import jax.numpy as jnp
     from autogp_tpu import GPConfig
@@ -228,43 +263,63 @@ def config4and5():
     from autogp_tpu.inference import smc
 
     N, P = 1024, 64
+    n_mcmc = n_hmc = 10
+    L = 10
     cfg = GPConfig(max_depth=5)
     tables = M.prior_tables(cfg)
     rng = np.random.default_rng(0)
     ts = np.linspace(0.0, 1.0, N)
     xs = np.sin(2 * np.pi * 7 * ts) + 0.1 * rng.standard_normal(N)
-    t0 = time.time()
     sched = [N // 4, N // 2, 3 * N // 4, N]
-    key = jax.random.PRNGKey(0)
     hc = H.HMCConfig(n_exit=1)
-    particles = smc.run_smc_anneal_data(
-        key, ts, xs, cfg, tables, P, sched, 10, 10,
-        biased=False, hmc_cfg=hc, permutation=np.arange(N),
-        adaptive_resampling=True, adaptive_rejuvenation=False,
-        verbose=False, check=False, callback_fn=None, dtype=jnp.float32)
-    jax.block_until_ready(particles.log_weights)
-    fit_s = time.time() - t0
-    log(f"[4] full fit incl compile: {fit_s:.1f}s")
-    # steady-state: one more fit with warm cache
+
+    def run_fit(seed, collect=None):
+        key = jax.random.PRNGKey(seed)
+        key, k_init = jax.random.split(key)
+        data0 = smc.make_dataset(ts, xs, n=0, pad_to=32,
+                                 dtype=jnp.float32)
+        parts = smc.initialize(k_init, P, data0, cfg, tables,
+                               dtype=jnp.float32)
+        for i, step in enumerate(sched):
+            data = smc.make_dataset(ts, xs, n=step,
+                                    pad_to=smc.bucket_size(step),
+                                    dtype=jnp.float32)
+            fn = smc.smc_round_jit(cfg, tables, n_mcmc, n_hmc, False, hc,
+                                   True, step < sched[-1], P / 2, False)
+            key, k_round = jax.random.split(key)
+            parts, stats = fn(k_round, parts, data)
+            if collect is not None:
+                collect.append((step,
+                                int(np.asarray(stats["mh_accepted"]).sum()),
+                                int(np.asarray(stats["hmc_sweeps"]).sum())))
+        jax.block_until_ready(parts.log_weights)
+        return parts
+
     t0 = time.time()
-    particles = smc.run_smc_anneal_data(
-        jax.random.PRNGKey(1), ts, xs, cfg, tables, P, sched, 10, 10,
-        biased=False, hmc_cfg=hc, permutation=np.arange(N),
-        adaptive_resampling=True, adaptive_rejuvenation=False,
-        verbose=False, check=False, callback_fn=None, dtype=jnp.float32)
-    jax.block_until_ready(particles.log_weights)
+    accepts = []
+    particles = run_fit(0, accepts)
+    fit_s = time.time() - t0
+    log(f"[4] full fit incl compile: {fit_s:.1f}s; accepts/round "
+        f"{[a for _, a, _ in accepts]}; sweeps/round "
+        f"{[w for _, _, w in accepts]}")
+    t0 = time.time()
+    particles = run_fit(1)
     tpu_s = time.time() - t0
-    # CPU extrapolation from the measured per-LML/per-grad primitives:
-    # bench.py CPU baseline ~8.6 LML evals/s f64; the fit is ~4 schedule
-    # steps x P x (1 reweight + n_mcmc MH rescores + accepted-HMC grads).
-    # Count conservatively: 4*64*(1+10) rescoring LMLs + HMC grads
-    # approximated at 3x an LML each, 10 leapfrogs x ~2 kernels x accept
-    # rate ~0.3.
-    n_lml = 4 * P * (1 + 10)
-    n_grad_equiv = 4 * P * 10 * 10 * 2 * 0.3 * 3
-    cpu_s = (n_lml + n_grad_equiv) / 8.6
+
+    # CPU accounting on the measured per-size LML cost and the run's
+    # ACTUAL per-particle HMC sweep counts (each sweep = L param
+    # leapfrogs + L noise leapfrogs, each charged 3x a forward).
+    cpu_s = 0.0
+    for (step, n_acc, n_sw) in accepts:
+        t_lml = _cpu_lml_seconds(particles, cfg, ts[:step])
+        n_fwd = P * (1 + n_mcmc)            # reweight + MH rescores
+        grad_equiv = n_sw * L * (3.0 + 3.0)
+        cpu_s += (n_fwd + grad_equiv) * t_lml
+        log(f"[4] step {step}: t_lml={t_lml * 1e3:.1f}ms accepts={n_acc} "
+            f"sweeps={n_sw}")
     record("4. full SMC fit N=1024 P=64 (4 steps, n_mcmc=10, n_hmc=10)",
-           tpu_s, cpu_s, "s", "*cpu extrapolated from measured 8.6 LML/s")
+           tpu_s, cpu_s, "s",
+           "*cpu from measured per-size f64 LML x actual op counts")
 
     # Config 5: online step at P=128 — add one observation batch, then
     # reweight + rejuvenate (scripts/online.jl per-step work).
@@ -280,14 +335,15 @@ def config4and5():
     out, _ = fn(jax.random.PRNGKey(3), parts, data)
     jax.block_until_ready(out)
     t0 = time.time()
-    out, _ = fn(jax.random.PRNGKey(4), parts, data)
+    out, stats5 = fn(jax.random.PRNGKey(4), parts, data)
     jax.block_until_ready(out)
     tpu5 = time.time() - t0
-    n_lml5 = P2 * (1 + 5)
-    n_grad5 = P2 * 5 * 5 * 2 * 0.3 * 3
-    cpu5 = (n_lml5 + n_grad5) / (8.6 * 4)  # N=512 is ~4x cheaper/LML
+    n_sw5 = int(np.asarray(stats5["hmc_sweeps"]).sum())
+    t_lml5 = _cpu_lml_seconds(out, cfg, ts[:512])
+    cpu5 = (P2 * (1 + 5) + n_sw5 * 10 * 6.0) * t_lml5
     record("5. online SMC step N=512 P=128 (n_mcmc=5, n_hmc=5)",
-           tpu5, cpu5, "s", "*cpu extrapolated")
+           tpu5, cpu5, "s",
+           "*cpu from measured f64 LML x actual op counts")
 
 
 def config3():
@@ -300,13 +356,23 @@ def config3():
     m = autogp_tpu.GPModel(t, y, n_particles=1, config=cfg)
     t0 = time.time()
     autogp_tpu.fit_greedy(m, max_depth=3)
+    cold_s = time.time() - t0
+    # Warm: the single sweep-bucket program is compiled once and cached;
+    # steady-state cost is one more full search.
+    autogp_tpu.seed(12)
+    m2 = autogp_tpu.GPModel(t, y, n_particles=1, config=cfg)
+    t0 = time.time()
+    autogp_tpu.fit_greedy(m2, max_depth=3)
     tpu_s = time.time() - t0
+    log(f"[3] cold (incl compile) {cold_s:.1f}s, warm {tpu_s:.1f}s")
     # CPU estimate: each greedy stage optimizes ~|candidates| structures
     # with <=500 LML+grad evals each; measured f64 numpy LML at N=144
     # ~ 1e-3 s and grad ~3x => per candidate ~2 s, ~30 candidates/stage.
     cpu_s = 3 * 30 * 500 * (1e-3 * 4) / 4  # ~45 s, rough
-    record("3. greedy search depth<=3 (airline-like, incl compile)",
-           tpu_s, cpu_s, "s", "*cpu rough estimate; tpu incl compiles")
+    record("3. greedy search depth<=3 (airline-like, warm)",
+           tpu_s, cpu_s, "s", "*cpu rough estimate; single compiled "
+           "sweep-bucket program (cold incl compile: "
+           f"{cold_s:.0f}s first ever, cached thereafter)")
 
 
 def jax_block(x):

@@ -112,7 +112,7 @@ def main():
 
     @jax.jit
     def hmc_step(key, pz, nz, lml):
-        pz, nz, lml, n_acc = hmc_mod.rejuvenate_parameters(
+        pz, nz, lml, n_acc, _sw = hmc_mod.rejuvenate_parameters(
             key, nt, pz, nz, lml, d, cfg, tables, 1, hc, True)
         return pz, nz, lml, n_acc
 

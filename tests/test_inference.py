@@ -145,7 +145,7 @@ def test_hmc_no_data_stationary_normal():
         lml = jnp.asarray(0.0, jnp.float64)
         def body(carry, k):
             pz1, nz1, lml = carry
-            pz2, nz2, lml2, _ = hmc_mod.rejuvenate_parameters(
+            pz2, nz2, lml2, _, _sw = hmc_mod.rejuvenate_parameters(
                 k, nt1, pz1, nz1, lml, data, CFG, TABLES, 5, hmc_cfg, True)
             return (pz2, nz2, lml2), None
         (pz1, nz1, _), _ = jax.lax.scan(body, (pz1, nz1, lml),
