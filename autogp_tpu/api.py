@@ -358,25 +358,39 @@ def maybe_resample(model: GPModel, ess_threshold: float) -> bool:
 # predict family (api.jl:482-699)
 # ---------------------------------------------------------------------------
 
+_posterior_cache = {}
+
+
+def _posterior_jit(cfg: GPConfig, has_noise_pred: bool):
+    """Content-keyed jitted per-particle posterior: a fresh
+    jax.jit(lambda) per predict call would re-trace (and round-trip the
+    remote compile cache) on EVERY call — the dominant cost of per-step
+    online prediction."""
+    sig = (cfg.cache_key, has_noise_pred)
+    if sig not in _posterior_cache:
+        def one(nt, pz, nz, ts, xs, mask, tsp, np_pred, ttable):
+            pt = M.transform_params(nt, pz, ttable)
+            noise = M.transform_noise(nz, cfg)
+            return gp_math.posterior_mvn_masked(
+                nt, pt, noise, ts, xs, mask, tsp, cfg.depth_cap,
+                noise_pred=(np_pred if has_noise_pred else None))
+
+        _posterior_cache[sig] = jax.jit(jax.vmap(
+            one, in_axes=(0, 0, 0, None, None, None, None, None, None)))
+    return _posterior_cache[sig]
+
+
 def _posterior_all(model: GPModel, ds_pred, noise_pred: Optional[float]):
     """Per-particle posterior (mu, cov) at ds_pred, in MODEL space."""
     data = model._dataset()
     tsp = jnp.asarray(model._ds_numeric(ds_pred), dtype=model.dtype)
-    np_pred = (jnp.asarray(noise_pred, model.dtype)
-               if noise_pred is not None else None)
-
-    def one(nt, pz, nz):
-        pt = M.transform_params(nt, pz, jnp.asarray(model.tables.ttable,
-                                                    model.dtype))
-        noise = M.transform_noise(nz, model.config)
-        return gp_math.posterior_mvn_masked(
-            nt, pt, noise, data.ts, data.xs, data.mask, tsp,
-            model.config.depth_cap,
-            noise_pred=np_pred)
-
-    mus, covs = jax.jit(jax.vmap(one))(
-        model.particles.node_type, model.particles.params,
-        model.particles.noise_z)
+    np_pred = jnp.asarray(noise_pred if noise_pred is not None else 0.0,
+                          model.dtype)
+    fn = _posterior_jit(model.config, noise_pred is not None)
+    mus, covs = fn(model.particles.node_type, model.particles.params,
+                   model.particles.noise_z, data.ts, data.xs, data.mask,
+                   tsp, np_pred,
+                   jnp.asarray(model.tables.ttable, model.dtype))
     return np.asarray(mus, np.float64), np.asarray(covs, np.float64)
 
 

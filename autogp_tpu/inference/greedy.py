@@ -353,7 +353,15 @@ def fit_greedy(model, max_depth: Optional[int] = None,
             parents=jnp.zeros(1, jnp.int32))
         model.particles = particles
 
+    def validate():
+        if check:
+            # Greedy.jl:88,102 runs Gen's dynamic checks under check=true;
+            # the analog here is trace-integrity validation of the
+            # particle plus finiteness of its score.
+            smc.validate_particles(model.particles, cfg)
+
     set_model(nt, pz, nz, lml)
+    validate()
     if callback_fn is not None:
         callback_fn(model=model, step=1, aic=aic, elapsed=elapsed)
 
@@ -368,6 +376,7 @@ def fit_greedy(model, max_depth: Optional[int] = None,
         if accepted:
             lml = new_lml
         set_model(nt, pz, nz, lml)
+        validate()
         if callback_fn is not None:
             callback_fn(model=model, step=depth, aic=aic, elapsed=elapsed)
     return model

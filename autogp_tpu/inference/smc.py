@@ -76,30 +76,56 @@ def make_dataset(ts, xs, n: Optional[int] = None, pad_to: Optional[int] = None,
 # Initialization (Gen.initialize_particle_filter, api.jl:108)
 # ---------------------------------------------------------------------------
 
+_init_cache = {}
+
+
 def initialize(key, n_particles: int, data: Dataset, cfg: C.GPConfig,
                tables: M.PriorTables, dtype=None) -> Particles:
     dt = dtype or data.ts.dtype
     noise_c = (None if cfg.noise is None
                else M.untransform_param("noise", cfg.noise, cfg))
-    keys = jax.random.split(key, n_particles)
+    # Content-keyed jit: an eager vmap here dispatches every op through
+    # the remote relay individually (~100s of round trips per init).
+    sig = (cfg.cache_key, n_particles, jnp.dtype(dt).name, noise_c is None)
+    if sig not in _init_cache:
+        def f(key, ts, xs, mask):
+            keys = jax.random.split(key, n_particles)
 
-    def gen_one(k):
-        return M.generate(k, data.ts, data.xs, data.mask, cfg, tables,
-                          noise_z_constraint=noise_c, dtype=dt)
+            def gen_one(k):
+                return M.generate(k, ts, xs, mask, cfg, tables,
+                                  noise_z_constraint=noise_c, dtype=dt)
 
-    node_type, params, noise_z, w = jax.vmap(gen_one)(keys)
+            node_type, params, noise_z, w = jax.vmap(gen_one)(keys)
+            lml = jax.vmap(
+                lambda nt, pz, nz: M.lml(nt, pz, nz, ts, xs, mask, cfg,
+                                         tables))(node_type, params,
+                                                  noise_z)
+            return node_type, params, noise_z, w, lml
+
+        _init_cache[sig] = jax.jit(f)
+    node_type, params, noise_z, w, lml = _init_cache[sig](
+        key, data.ts, data.xs, data.mask)
     return Particles(
         node_type=node_type, params=params, noise_z=noise_z,
-        log_weights=w.astype(dt), lml=_lml_all(node_type, params, noise_z,
-                                               data, cfg, tables),
+        log_weights=w.astype(dt), lml=lml,
         log_ml_est=jnp.asarray(0.0, dt),
         parents=jnp.arange(n_particles, dtype=jnp.int32))
 
 
+_lml_all_cache = {}
+
+
 def _lml_all(node_type, params, noise_z, data: Dataset, cfg, tables):
-    return jax.vmap(
-        lambda nt, pz, nz: M.lml(nt, pz, nz, data.ts, data.xs, data.mask,
-                                 cfg, tables))(node_type, params, noise_z)
+    sig = cfg.cache_key
+    if sig not in _lml_all_cache:
+        def f(node_type, params, noise_z, ts, xs, mask):
+            return jax.vmap(
+                lambda nt, pz, nz: M.lml(nt, pz, nz, ts, xs, mask, cfg,
+                                         tables))(node_type, params,
+                                                  noise_z)
+        _lml_all_cache[sig] = jax.jit(f)
+    return _lml_all_cache[sig](node_type, params, noise_z, data.ts,
+                               data.xs, data.mask)
 
 
 # ---------------------------------------------------------------------------

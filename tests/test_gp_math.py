@@ -127,6 +127,19 @@ def test_masked_lml_matches_scipy():
                               jnp.zeros(pad), CFG.depth_cap)
     assert float(got0) == 0.0
 
+    # Bucket invariance: the per-step annealing buckets
+    # (smc.run_smc_anneal_data) rely on the LML being independent of the
+    # pad size — the same prefix under a larger bucket must give the
+    # same value to fp accumulation order.
+    for pad2 in (64, 128):
+        tp2 = np.zeros(pad2); tp2[:n] = ts
+        xp2 = np.zeros(pad2); xp2[:n] = xs
+        mk2 = np.zeros(pad2); mk2[:n] = 1.0
+        got2 = gp_math.lml_masked(jnp.asarray(nt), pt, noise,
+                                  jnp.asarray(tp2), jnp.asarray(xp2),
+                                  jnp.asarray(mk2), CFG.depth_cap)
+        np.testing.assert_allclose(float(got2), float(got), rtol=1e-12)
+
 
 @pytest.mark.parametrize("n,base", [(16, 16), (64, 16), (128, 8),
                                     (256, 16)])
