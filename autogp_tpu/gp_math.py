@@ -334,10 +334,10 @@ def mvn_logpdf_masked_cvjp(K, x, mask, pregram=False):
     full-matrix masking pass (~1 HBM round trip of K per eval).
     """
     Km = K if pregram else masked_gram(K, mask)
-    L = _chol(Km)
+    from autogp_tpu.ops import chol_pallas
+    L, alpha = chol_pallas.chol_solve_psd(Km, x * mask)
     n = jnp.sum(mask)
     logdet = 2.0 * jnp.sum(jnp.log(diag_fast(L)) * mask)
-    alpha = solve_lower_blocked(L, x * mask)
     return -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
 
 

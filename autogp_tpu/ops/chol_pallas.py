@@ -193,6 +193,52 @@ def cholesky_batched(K, block: int = BLOCK, interpret: bool = False,
     return jnp.concatenate(cols, axis=2)
 
 
+def cholesky_solve_batched(K, x, block: int = BLOCK,
+                           interpret: bool = False, subw: int = None):
+    """(L, alpha = L^-1 x) for a batch [P, N, N] of SPD matrices.
+
+    Same factorization as cholesky_batched, with the RHS carried through
+    the panel loop: each panel's blocked triangular inverse (already
+    computed for the off-diagonal strip) also advances the forward
+    substitution — the standalone solve_lower_blocked costs ~1.9 ms at
+    [64,1024,1024] (it re-inverts the diagonal blocks); fused it is two
+    small matvecs per panel (~0.1 ms)."""
+    from autogp_tpu import gp_math
+    P, N, _ = K.shape
+    assert N % block == 0, (N, block)
+    nb = N // block
+    A = K
+    xcur = x
+    cols = []
+    alphas = []
+    HI = jax.lax.Precision.HIGHEST
+    for k in range(nb):
+        r0 = k * block
+        diag_t = jnp.swapaxes(A[:, :block, :block], 1, 2)
+        Lkk_t = _panel_factor(diag_t, interpret=interpret, subw=subw)
+        Lkk = jnp.swapaxes(Lkk_t, 1, 2)
+        Linv = gp_math.tri_inv_blocked(Lkk)
+        a_k = jnp.einsum("pij,pj->pi", Linv, xcur[:, :block],
+                         preferred_element_type=K.dtype, precision=HI)
+        alphas.append(a_k)
+        if k + 1 < nb:
+            A21 = A[:, block:, :block]
+            L21 = jnp.einsum("pij,pkj->pik", A21, Linv,
+                             preferred_element_type=K.dtype, precision=HI)
+            A = A[:, block:, block:] - jnp.einsum(
+                "pib,pjb->pij", L21, L21,
+                preferred_element_type=K.dtype, precision=HI)
+            xcur = xcur[:, block:] - jnp.einsum(
+                "pij,pj->pi", L21, a_k,
+                preferred_element_type=K.dtype, precision=HI)
+            Lp = jnp.concatenate([Lkk, L21], axis=1)
+        else:
+            Lp = Lkk
+        cols.append(jnp.concatenate(
+            [jnp.zeros((P, r0, block), K.dtype), Lp], axis=1))
+    return jnp.concatenate(cols, axis=2), jnp.concatenate(alphas, axis=1)
+
+
 def supported(N: int, dtype) -> bool:
     return N % BLOCK == 0 and dtype == jnp.float32
 
@@ -215,3 +261,33 @@ def _chol_psd_vmap(axis_size, in_batched, K):
             and backend.use_pallas():
         return cholesky_batched(K), True
     return jnp.linalg.cholesky(K), True
+
+
+def _chol_solve_plain(K, x):
+    L = jnp.linalg.cholesky(K)
+    return L, jax.scipy.linalg.solve_triangular(L, x, lower=True)
+
+
+@jax.custom_batching.custom_vmap
+def chol_solve_psd(K, x):
+    """(L, L^-1 x): the fused factor+solve under vmap on TPU (the panel
+    loop's blocked inverses advance the substitution for free), plain
+    Cholesky + triangular solve otherwise. NOT reverse-mode
+    differentiable (custom_vmap) — use inside custom_vjp rules only."""
+    return _chol_solve_plain(K, x)
+
+
+@chol_solve_psd.def_vmap
+def _chol_solve_psd_vmap(axis_size, in_batched, K, x):
+    from autogp_tpu import backend
+    k_batched, x_batched = in_batched
+    if not (k_batched and x_batched):
+        K = K if k_batched else jnp.broadcast_to(K, (axis_size,) + K.shape)
+        x = x if x_batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+    if K.ndim == 3 and supported(K.shape[-1], K.dtype) \
+            and backend.use_pallas():
+        return cholesky_solve_batched(K, x), (True, True)
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.vmap(lambda l, v: jax.scipy.linalg.solve_triangular(
+        l, v, lower=True))(L, x)
+    return (L, alpha), (True, True)
