@@ -54,6 +54,24 @@ def test_chol_pallas_nan_parity_with_xla(spd_batch):
     np.testing.assert_array_equal(nx, npal)
 
 
+def test_chol_solve_fused_vs_f64(spd_batch):
+    """Fused factor+solve (cholesky_solve_batched) vs float64 scipy."""
+    from scipy.linalg import solve_triangular
+    K64, K = spd_batch
+    rng = np.random.default_rng(3)
+    x64 = rng.standard_normal(K64.shape[:2])
+    L, alpha = jax.jit(chol_pallas.cholesky_solve_batched)(
+        K, jnp.asarray(x64, jnp.float32))
+    L64 = np.linalg.cholesky(K64)
+    a64 = np.stack([solve_triangular(L64[i], x64[i], lower=True)
+                    for i in range(len(x64))])
+    scale = np.abs(a64).max()
+    assert np.max(np.abs(np.asarray(alpha, np.float64) - a64)) / scale \
+        < 5e-6
+    assert np.max(np.abs(np.asarray(L, np.float64) - L64)) \
+        / np.abs(L64).max() < 5e-6
+
+
 def test_tri_inv_blocked_vs_f64(spd_batch):
     K64, K = spd_batch
     L64 = np.linalg.cholesky(K64)
