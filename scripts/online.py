@@ -85,13 +85,17 @@ def fn_callback(*, ds_test, y_test, log_dir, plot=False, **kwargs):
     y_next = kwargs["y_next"]
     step = kwargs["step"]
 
-    ds_query = np.concatenate([model.ds, ds_next, ds_test])
+    # ds_test arrives numeric (it includes the synthetic future grid);
+    # align the model's raw index (possibly datetime64) to numeric too.
+    ds_obs = autogp_tpu.api.to_numeric(model.ds)
+    ds_next = autogp_tpu.api.to_numeric(ds_next)
+    ds_query = np.concatenate([ds_obs, ds_next, ds_test])
     y_true = np.concatenate([model.y, y_next, y_test])
     predictions = autogp_tpu.predict(model, ds_query,
                                      quantiles=[0.025, 0.975])
 
     ds_type = np.full(len(ds_query), "", dtype=object)
-    ds_type[np.isin(ds_query, model.ds)] = "ds_obs"
+    ds_type[np.isin(ds_query, ds_obs)] = "ds_obs"
     ds_type[np.isin(ds_query, ds_next)] = "ds_next"
     ds_type[np.isin(ds_query, ds_test)] = "ds_test"
     type_map = dict(zip(ds_query.tolist(), ds_type.tolist()))
