@@ -35,7 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 128   # panel width (lane-aligned)
-SUBW = 32     # sub-panel width of the sequential recurrence
+# Sub-panel width of the sequential recurrence. Swept on v5e at
+# [64,128,128] diagonal panels: 8 -> 0.19 ms, 16 -> 0.24, 32 -> 0.22,
+# 64 -> 0.37 (full N=1024 chol: 4.98 / 5.09 / 5.49 / 6.26 ms) — narrow
+# strips win because the per-column rank-1 update touches [pp, W, B]
+# and the cross-term MXU dots amortize the extra sub-panel count.
+SUBW = 8
 
 
 def _panel_kernel(in_ref, hbm_out_ref, out_ref, sem_in, sem_out, *,
@@ -128,7 +133,7 @@ def _panel_factor(panel_t, interpret: bool = False, subw: int = None):
     assert P % pp == 0, (P, pp)
     # With the bigger particle window, shrink the sub-panel strip so the
     # per-step [pp, W, m] temporaries fit beside the 8MB scratch.
-    w_default = SUBW if pp * B * m * 4 <= 4 * 2 ** 20 else SUBW // 2
+    w_default = SUBW
     kernel = functools.partial(_panel_kernel, B=B,
                                W=min(subw or w_default, B), m=m, pp=pp)
     return pl.pallas_call(
