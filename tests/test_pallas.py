@@ -194,3 +194,45 @@ def test_cov_pallas_vjp_matches_xla_grads(node, tape):
     assert np.isfinite(np.asarray(gx[0])).all()
     pm = np.asarray(param_mask(nt))
     assert (np.asarray(gp[0])[pm == 0] == 0).all()
+
+
+@pytest.mark.parametrize("node", GRAD_CASES, ids=lambda n: K.pretty(n)[:40])
+def test_lml_tape_fused_matches_xla_grads(node):
+    """Fully fused assembly+MVN VJP (in-kernel Kbar) == XLA autodiff."""
+    import jax.numpy as jnp
+    from autogp_tpu import model as M
+    from autogp_tpu.ops import cov_pallas_vjp
+    from autogp_tpu.tree import param_mask
+
+    n, pad = 50, 64   # blocked-inverse path needs power-of-two N >= 64
+    ts = np.zeros(pad); ts[:n] = np.linspace(0.0, 1.0, n)
+    mask = np.zeros(pad); mask[:n] = 1.0
+    xs = np.zeros(pad); xs[:n] = np.sin(np.linspace(0, 8, n))
+    ts_j, mask_j, xs_j = map(jnp.asarray, (ts, mask, xs))
+
+    nt, pz = tree.node_to_tensor(node, CFG)
+    nt = jnp.asarray(nt)
+    pz = jnp.asarray(pz)
+
+    def lml_xla(z, nz):
+        pt = M.transform_params(nt, z, TAB.ttable)
+        Kx = gp_math.eval_cov(nt, pt, ts_j, ts_j, CFG.depth_cap) \
+            + nz * jnp.eye(pad)
+        return gp_math.mvn_logpdf_masked(Kx, xs_j, mask_j)
+
+    def lml_fused(z, nz):
+        pt = M.transform_params(nt, z, TAB.ttable)
+        return cov_pallas_vjp.lml_tape_fused(nt, pt, nz, ts_j, xs_j,
+                                             mask_j, CFG.depth_cap,
+                                             interpret=True)
+
+    vx, gx = jax.value_and_grad(lml_xla, argnums=(0, 1))(
+        pz, jnp.asarray(0.25))
+    vf, gf = jax.value_and_grad(lml_fused, argnums=(0, 1))(
+        pz, jnp.asarray(0.25))
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gx[0]),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(float(gf[1]), float(gx[1]), rtol=1e-8)
+    pm = np.asarray(param_mask(nt))
+    assert (np.asarray(gf[0])[pm == 0] == 0).all()

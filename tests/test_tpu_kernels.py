@@ -139,3 +139,61 @@ def test_grad_lml_tpu_vs_cpu_reference():
     ok = np.isfinite(v1n)
     assert ok.sum() >= len(v0n) // 2, (v0n, v1n)
     assert (v1n[ok] >= v0n[ok] - 1e-3).all(), (v0n, v1n)
+
+
+def test_lml_fused_vjp_matches_unfused_tpu():
+    """lml_tape_fused grads == the unfused cov_matrix_diff + MVN-cvjp
+    chain on hardware (the in-kernel Kbar formation vs XLA's)."""
+    from autogp_tpu.ops import cov_pallas_vjp
+
+    cfg = GPConfig(max_depth=4)
+    tables = M.prior_tables(cfg)
+    rng = np.random.default_rng(7)
+    N = 256
+    ts = np.linspace(0.0, 1.0, N)
+    xs = np.sin(2 * np.pi * 3 * ts) + 0.1 * rng.standard_normal(N)
+    data = smc.make_dataset(ts, xs, pad_to=N, dtype=jnp.float32)
+    parts = smc.initialize(jax.random.PRNGKey(3), 8, data, cfg, tables,
+                           dtype=jnp.float32)
+
+    def g_fused(pz, nz, nt):
+        def f(pz, nz):
+            pt = M.transform_params(nt, pz, tables.ttable)
+            noise = M.transform_noise(nz, cfg)
+            return cov_pallas_vjp.lml_tape_fused(
+                nt, pt, noise, data.ts, data.xs, data.mask, cfg.depth_cap)
+        return jax.value_and_grad(f, argnums=(0, 1))(pz, nz)
+
+    def g_unfused(pz, nz, nt):
+        def f(pz, nz):
+            pt = M.transform_params(nt, pz, tables.ttable)
+            noise = M.transform_noise(nz, cfg)
+            K = cov_pallas_vjp.cov_matrix_diff(nt, pt, noise, data.ts,
+                                               data.mask, cfg.depth_cap)
+            return gp_math.mvn_logpdf_masked_cvjp(K, data.xs, data.mask,
+                                                  True)
+        return jax.value_and_grad(f, argnums=(0, 1))(pz, nz)
+
+    vf, (gpf, gnf) = jax.jit(jax.vmap(g_fused))(
+        parts.params, parts.noise_z, parts.node_type)
+    vu, (gpu, gnu) = jax.jit(jax.vmap(g_unfused))(
+        parts.params, parts.noise_z, parts.node_type)
+    vf, vu = np.asarray(vf, np.float64), np.asarray(vu, np.float64)
+    ok = np.isfinite(vf) & np.isfinite(vu)
+    assert ok.sum() >= len(vf) // 2
+    np.testing.assert_allclose(vf[ok], vu[ok], rtol=1e-6)
+    # Ill-conditioned f32 prior draws can NaN in the GRADIENT even when
+    # the value is finite (PD cliff); both paths must NaN on the same
+    # particles, and agree wherever both are finite.
+    gpf, gpu = np.asarray(gpf, np.float64), np.asarray(gpu, np.float64)
+    gnf, gnu = np.asarray(gnf, np.float64), np.asarray(gnu, np.float64)
+    gok = (ok & np.isfinite(gpf).all(axis=(1, 2))
+           & np.isfinite(gpu).all(axis=(1, 2))
+           & np.isfinite(gnf) & np.isfinite(gnu))
+    assert gok.sum() >= len(vf) // 2
+    np.testing.assert_array_equal(
+        np.isfinite(gpf[ok]).all(axis=(1, 2)),
+        np.isfinite(gpu[ok]).all(axis=(1, 2)))
+    scale = np.abs(gpu[gok]).max() + 1e-9
+    assert np.max(np.abs(gpf[gok] - gpu[gok])) / scale < 1e-4
+    np.testing.assert_allclose(gnf[gok], gnu[gok], rtol=1e-3, atol=1e-5)
