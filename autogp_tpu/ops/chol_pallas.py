@@ -68,7 +68,6 @@ def _panel_kernel(in_ref, hbm_out_ref, out_ref, sem_in, sem_out, *,
 
     for sb in range(SB):
         off = sb * W
-        subrow = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
 
         if sb > 0:
             # left-looking cross-term update: pull in all previously
@@ -83,25 +82,25 @@ def _panel_kernel(in_ref, hbm_out_ref, out_ref, sem_in, sem_out, *,
             out_ref[:, off:off + W, :] = \
                 out_ref[:, off:off + W, :] - upd
 
-        def step(j, _, off=off, subrow=subrow):
+        # Static Python unroll (W is a compile-time constant): every slice
+        # below is static, eliminating the fori_loop's per-iteration
+        # dynamic-slice/branch overhead on the latency-bound recurrence.
+        for j in range(W):
             gj = off + j
-            col = out_ref[:, pl.ds(gj, 1), :]                 # [pp,1,m]
+            col = out_ref[:, gj:gj + 1, :]                    # [pp,1,m]
             # the diagonal element sits in the first B lanes; reduce there.
             pivot = jnp.sum(jnp.where(laneB == gj, col[:, :, :B], 0.0),
                             axis=2, keepdims=True)            # [pp,1,1]
             col = jnp.where(lane >= gj, col / jnp.sqrt(pivot), 0.0)
-            out_ref[:, pl.ds(gj, 1), :] = col
+            out_ref[:, gj:gj + 1, :] = col
             # rank-1 update of the remaining columns in this sub-panel:
             # X[:, i, :] -= L[i, gj] * col  for i in (gj, off+W).
             # (a rank-2 variant with a K=2 MXU dot measured 1.8x SLOWER —
             # tiny-contraction dots are latency-bound on the MXU.)
-            cS = jnp.swapaxes(col[:, :, off:off + W], 1, 2)   # [pp,W,1]
-            blk = out_ref[:, off:off + W, :]
-            upd = jnp.where(subrow > j, cS * col, 0.0)
-            out_ref[:, off:off + W, :] = blk - upd
-            return 0
-
-        jax.lax.fori_loop(0, W, step, 0)
+            if j + 1 < W:
+                cS = jnp.swapaxes(col[:, :, gj + 1:off + W], 1, 2)
+                blk = out_ref[:, gj + 1:off + W, :]           # [pp,W-j-1,m]
+                out_ref[:, gj + 1:off + W, :] = blk - cS * col
 
     dma_out = pltpu.make_async_copy(out_ref,
                                     hbm_out_ref.at[pl.ds(i * pp, pp)],
