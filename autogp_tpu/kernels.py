@@ -208,6 +208,17 @@ def compute_cov_matrix_vectorized(node: Node, noise: float, ts) -> np.ndarray:
     return eval_cov(node, ts) + noise * np.eye(len(ts))
 
 
+def compute_cov_matrix(node: Node, noise: float, ts) -> np.ndarray:
+    """Non-vectorized compute_cov_matrix (GP.jl:674-684): pairwise scalar
+    eval_cov + noise on the diagonal. Matches the reference exactly: the
+    scalar path does NOT apply the vectorized path's ChangePoint
+    symmetrization (GP.jl:502), so the two can differ at ~1e-16 for
+    ChangePoint kernels."""
+    ts = np.asarray(ts, dtype=np.float64)
+    K = _eval_cov(node, ts[:, None], ts[None, :])
+    return K + noise * np.eye(len(ts))
+
+
 # ---------------------------------------------------------------------------
 # reparameterize / rescale (GP.jl:142-517)
 # ---------------------------------------------------------------------------

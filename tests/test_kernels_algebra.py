@@ -145,3 +145,17 @@ def test_pretty():
     assert s == "(LIN(0.10; 1.30, 0.70) * PER(0.96, 0.21; 1.10))"
     t = GP.pretty_tree(k)
     assert "×" in t and "LIN" in t and "PER" in t
+
+
+def test_compute_cov_matrix_loop_matches_vectorized():
+    """GP.jl:674-684 loop form == vectorized form (+noise*I); ChangePoint
+    differs only by the vectorized path's symmetrization (~1e-16)."""
+    import numpy as np
+    ts = np.linspace(0.0, 1.0, 17)
+    ks = [GP.Linear(0.2, 0.5, 0.3),
+          GP.Periodic(0.9, 0.4, 1.1) + GP.GammaExponential(0.5, 1.2, 0.8),
+          GP.ChangePoint(GP.Linear(0.3), GP.Periodic(1.0, 0.5), 0.5, 0.01)]
+    for k in ks:
+        a = GP.compute_cov_matrix(k, 0.37, ts)
+        b = GP.compute_cov_matrix_vectorized(k, 0.37, ts)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
