@@ -214,8 +214,14 @@ def fit_smc(model: GPModel, schedule: Sequence[int], n_mcmc, n_hmc,
             adaptive_resampling: bool = True,
             adaptive_rejuvenation: bool = False,
             hmc_config=None, verbose: bool = False, check: bool = False,
-            callback_fn: Optional[Callable] = None):
-    """SMC structure learning with data annealing."""
+            callback_fn: Optional[Callable] = None,
+            hmc_compact: bool = True):
+    """SMC structure learning with data annealing.
+
+    `hmc_compact` gathers MH-accepted particles into fixed-width chunks
+    before the HMC sweep (identical results, less wasted leapfrog work on
+    rejected lanes); disable to shave a little compile time on tiny runs.
+    """
     n = len(model.ds)
     perm = (_GLOBAL["rng"].permutation(n) if shuffle else np.arange(n))
     cb = None
@@ -233,7 +239,8 @@ def fit_smc(model: GPModel, schedule: Sequence[int], n_mcmc, n_hmc,
         hmc_cfg=_hmc_config(hmc_config, default_n_exit=1),
         permutation=perm, adaptive_resampling=adaptive_resampling,
         adaptive_rejuvenation=adaptive_rejuvenation, verbose=verbose,
-        check=check, callback_fn=cb, dtype=model.dtype)
+        check=check, callback_fn=cb, dtype=model.dtype,
+        hmc_compact=hmc_compact)
     return model
 
 

@@ -189,10 +189,28 @@ def maybe_resample(key, particles: Particles, ess_threshold) -> tuple:
 # Rejuvenation (rejuvenate_particle_structure, :78-119)
 # ---------------------------------------------------------------------------
 
+def _hmc_chunk_width(P: int, compact: bool) -> int:
+    """Static chunk width for compacted HMC dispatch. HMC only runs on
+    MH-accepted particles (~25% acceptance measured on the config-4
+    workload), so the full-width batched while_loop wastes ~4x of the
+    dominant leapfrog cost on masked-out lanes. Compaction gathers the
+    enabled particles to the front and scans over P/W fixed-width chunks:
+    chunks past the enabled count hold only disabled lanes, whose batched
+    while_loop exits after one condition evaluation. One chunk width means
+    ONE compiled HMC instantiation (a lax.switch over width buckets was
+    tried first: 3 instantiations of the dominant subprogram tripled the
+    already-minutes-long SMC-round compiles). W ~= P/4 matches the mean
+    enabled count, so typically a single chunk does all the work."""
+    if not compact or P < 16:
+        return P
+    return max(8, P // 4)
+
+
 def rejuvenate_structure(key, particles: Particles, data: Dataset,
                          cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
                          biased: bool, hmc_cfg: hmc_mod.HMCConfig,
-                         infer_noise: bool) -> tuple:
+                         infer_noise: bool, hmc_compact: bool = True
+                         ) -> tuple:
     """n_mcmc involutive-MH steps; each particle that accepts a structure
     move gets an HMC parameter sweep. Whole batch in one scan."""
     d = (data.ts, data.xs, data.mask)
@@ -219,11 +237,43 @@ def rejuvenate_structure(key, particles: Particles, data: Dataset,
         nt, pz, lml = res.node_type, res.params, res.lml
 
         if n_hmc > 0:
+            W = _hmc_chunk_width(P, hmc_compact)
+
             def run_hmc(args):
                 nt, pz, nz, lml = args
-                p2, n2, l2, _, sw = hmc_all(jax.random.split(k_hmc, P), nt,
-                                            pz, nz, lml, res.accepted)
-                return p2, n2, l2, sw
+                acc = res.accepted
+                keys = jax.random.split(k_hmc, P)
+                if W == P:
+                    p2, n2, l2, _, sw = hmc_all(keys, nt, pz, nz, lml, acc)
+                    return p2, n2, l2, sw
+                # enabled-first stable order; per-particle keys ride along,
+                # so a particle's trajectory is chunk-independent.
+                order = jnp.argsort(jnp.logical_not(acc),
+                                    stable=True).astype(jnp.int32)
+                n_chunks = -(-P // W)
+                pad = n_chunks * W - P
+                if pad:
+                    # Duplicated indices are safe: the duplicated lane runs
+                    # the identical trajectory (same key/state) in every
+                    # chunk it appears in, and the scatter writes equal
+                    # values.
+                    order = jnp.concatenate(
+                        [order, jnp.broadcast_to(order[-1], (pad,))])
+                chunks = order.reshape(n_chunks, W)
+
+                def chunk_body(_, sel):
+                    p2, n2, l2, _, sw = hmc_all(keys[sel], nt[sel], pz[sel],
+                                                nz[sel], lml[sel], acc[sel])
+                    return None, (p2, n2, l2, sw)
+
+                _, (p2s, n2s, l2s, sws) = jax.lax.scan(chunk_body, None,
+                                                       chunks)
+                flat = chunks.reshape(-1)
+                return (pz.at[flat].set(p2s.reshape(-1, *pz.shape[1:])),
+                        nz.at[flat].set(n2s.reshape(-1, *nz.shape[1:])),
+                        lml.at[flat].set(l2s.reshape(-1)),
+                        jnp.zeros((P,), jnp.int32).at[flat].set(
+                            sws.reshape(-1)))
 
             def skip_hmc(args):
                 _, pz, nz, lml = args
@@ -255,7 +305,7 @@ def smc_round(key, particles: Particles, data: Dataset, cfg: C.GPConfig,
               tables, n_mcmc: int, n_hmc: int, biased: bool,
               hmc_cfg: hmc_mod.HMCConfig, infer_noise: bool,
               allow_resample: bool, ess_threshold: float,
-              adaptive_rejuvenation: bool):
+              adaptive_rejuvenation: bool, hmc_compact: bool = True):
     """reweight -> maybe_resample -> rejuvenate (run_smc_anneal_data body,
     inference_smc_anneal_data.jl:206-253)."""
     k_res, k_rej = jax.random.split(key)
@@ -270,7 +320,8 @@ def smc_round(key, particles: Particles, data: Dataset, cfg: C.GPConfig,
         def rej(p):
             return rejuvenate_structure(k_rej, p, data, cfg, tables,
                                         n_mcmc, n_hmc, biased, hmc_cfg,
-                                        infer_noise)
+                                        infer_noise,
+                                        hmc_compact=hmc_compact)
 
         def norej(p):
             zero = jnp.zeros((p.n_particles,), jnp.int32)
@@ -282,7 +333,7 @@ def smc_round(key, particles: Particles, data: Dataset, cfg: C.GPConfig,
     else:
         particles, n_acc, n_sweeps = rejuvenate_structure(
             k_rej, particles, data, cfg, tables, n_mcmc, n_hmc, biased,
-            hmc_cfg, infer_noise)
+            hmc_cfg, infer_noise, hmc_compact=hmc_compact)
         rejuvenated = jnp.asarray(True)
     return particles, {"resampled": resampled, "rejuvenated": rejuvenated,
                        "mh_accepted": n_acc, "hmc_sweeps": n_sweeps}
@@ -294,15 +345,17 @@ _round_cache = {}
 def smc_round_jit(cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
                   biased: bool, hmc_cfg: hmc_mod.HMCConfig,
                   infer_noise: bool, allow_resample: bool,
-                  ess_threshold: float, adaptive_rejuvenation: bool):
+                  ess_threshold: float, adaptive_rejuvenation: bool,
+                  hmc_compact: bool = True):
     sig = (cfg.cache_key, n_mcmc, n_hmc, biased, hmc_cfg, infer_noise,
-           allow_resample, ess_threshold, adaptive_rejuvenation)
+           allow_resample, ess_threshold, adaptive_rejuvenation,
+           hmc_compact)
     if sig not in _round_cache:
         def f(key, particles, data):
             return smc_round(key, particles, data, cfg, tables, n_mcmc,
                              n_hmc, biased, hmc_cfg, infer_noise,
                              allow_resample, ess_threshold,
-                             adaptive_rejuvenation)
+                             adaptive_rejuvenation, hmc_compact)
         _round_cache[sig] = jax.jit(f)
     return _round_cache[sig]
 
@@ -379,7 +432,8 @@ def run_smc_anneal_data(
         verbose: bool = False,
         check: bool = False,
         callback_fn: Optional[Callable] = None,
-        dtype=None) -> Particles:
+        dtype=None,
+        hmc_compact: bool = True) -> Particles:
     """Anneal over data prefixes ts[perm][:step] for step in schedule."""
     import time as _time
     n = len(ts)
@@ -434,7 +488,8 @@ def run_smc_anneal_data(
                          else float(n_particles))
         fn = smc_round_jit(cfg, tables, int(n_mcmc[i]), int(n_hmc[i]),
                            biased, hmc_cfg, infer_noise, allow_resample,
-                           ess_threshold, adaptive_rejuvenation)
+                           ess_threshold, adaptive_rejuvenation,
+                           hmc_compact=hmc_compact)
         key, k_round = jax.random.split(key)
         particles, stats = fn(k_round, particles, data)
         jax.block_until_ready(particles)

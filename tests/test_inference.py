@@ -257,3 +257,36 @@ def test_smc_anneal_depth_smoke():
         par = (s - 1) // 2
         is_op = np.isin(nts[:, par], [6, 7, 8])
         assert ((nts[:, s] > 0) == is_op).all()
+
+
+def test_hmc_compaction_matches_uncompacted():
+    """The chunked HMC dispatch (gather enabled particles to the front,
+    scan over fixed-width chunks) must be a pure execution-layout change:
+    per-particle trajectories use per-particle keys, so results are
+    identical to the full-width masked path."""
+    rng = np.random.default_rng(3)
+    n = 16
+    ts = np.linspace(0, 1, n)
+    xs = np.sin(2 * np.pi * 2 * ts) + 0.1 * rng.standard_normal(n)
+    data = smc.make_dataset(ts, xs, n=n, pad_to=32)
+    P = 16  # chunk width 8: compaction active (2 chunks)
+    parts = smc.initialize(jax.random.PRNGKey(5), P, data, CFG, TABLES)
+    assert smc._hmc_chunk_width(P, True) == 8
+
+    key = jax.random.PRNGKey(11)
+    hc = hmc_mod.HMCConfig(L_param=3, L_noise=3, n_exit=1)
+    out = {}
+    for compact in (False, True):
+        p2, n_acc, n_sw = smc.rejuvenate_structure(
+            key, parts, data, CFG, TABLES, n_mcmc=3, n_hmc=2,
+            biased=False, hmc_cfg=hc, infer_noise=True,
+            hmc_compact=compact)
+        out[compact] = (p2, np.asarray(n_acc), np.asarray(n_sw))
+
+    a, b = out[False], out[True]
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+    for fa, fb in zip(a[0], b[0]):
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                   rtol=0, atol=0)
+    assert a[2].sum() > 0  # some HMC actually ran
