@@ -61,21 +61,31 @@ def hmc_params_step(key, node_type, params_z, noise_z, lml_cached, data,
     k_mom, k_acc = jax.random.split(key)
     mom0 = jax.random.normal(k_mom, params_z.shape, params_z.dtype) * pmask
 
-    (u0, _), g = jax.value_and_grad(U, has_aux=True)(params_z)
-    g = g * pmask
-
-    def leapfrog(carry, _):
-        q, p, g = carry
-        p = p - 0.5 * eps * g
-        q = q + eps * p * pmask
-        (_, _), g_new = jax.value_and_grad(U, has_aux=True)(q)
+    # One traced instance of the grad-LML program (the largest subprogram
+    # of the SMC round): iteration 0 runs with step size 0, which reduces
+    # the body to the initial value_and_grad evaluation at q0; the body's
+    # evaluation at the updated position doubles as the endpoint energy,
+    # so neither a standalone init call nor a final U(q_new) is needed.
+    def leapfrog(carry, eps_i):
+        q, p, g, _u, _lml = carry
+        p = p - 0.5 * eps_i * g
+        q = q + eps_i * p * pmask
+        (u, lml), g_new = jax.value_and_grad(U, has_aux=True)(q)
         g_new = g_new * pmask
-        p = p - 0.5 * eps * g_new
-        return (q, p, g_new), None
+        p = p - 0.5 * eps_i * g_new
+        return (q, p, g_new, u, lml), u
 
-    (q_new, p_new, _), _ = jax.lax.scan(leapfrog, (params_z, mom0, g),
-                                        None, length=L)
-    (u1, lml1) = U(q_new)
+    eps_arr = jnp.full((L + 1,), eps, params_z.dtype).at[0].set(0.0)
+    # Carry seeds must match the body's output dtypes exactly (e.g. U can
+    # return float64 under x64 even for float32 params); eval_shape is
+    # trace-only and adds nothing to the program.
+    u_s, lml_s = jax.eval_shape(U, params_z)
+    (q_new, p_new, _, u1, lml1), us = jax.lax.scan(
+        leapfrog, (params_z, mom0, jnp.zeros_like(params_z),
+                   jnp.zeros(u_s.shape, u_s.dtype),
+                   jnp.zeros(lml_s.shape, lml_s.dtype)),
+        eps_arr)
+    u0 = us[0]
     dh = (u1 - u0) + 0.5 * (jnp.sum(p_new * p_new) - jnp.sum(mom0 * mom0))
     accept = (jnp.log(jax.random.uniform(k_acc)) < -dh) & jnp.isfinite(dh)
     return (jnp.where(accept, q_new, params_z),
@@ -114,19 +124,25 @@ def hmc_noise_step(key, node_type, params_z, noise_z, lml_cached, data,
     k_mom, k_acc = jax.random.split(key)
     mom0 = jax.random.normal(k_mom, (), noise_z.dtype)
 
-    (u0, _), g = U_vg(noise_z)
+    # Single traced U_vg instance, as in hmc_params_step: iteration 0 runs
+    # with step size 0 (the init evaluation); the body's U_vg at the
+    # updated position doubles as the trajectory-end energy evaluation.
+    def leapfrog(carry, eps_i):
+        q, p, g, _u, _lml = carry
+        p = p - 0.5 * eps_i * g
+        q = q + eps_i * p
+        (u, lml), g_new = U_vg(q)
+        p = p - 0.5 * eps_i * g_new
+        return (q, p, g_new, u, lml), u
 
-    def leapfrog(carry, _):
-        q, p, g = carry
-        p = p - 0.5 * eps * g
-        q = q + eps * p
-        (_, _), g_new = U_vg(q)
-        p = p - 0.5 * eps * g_new
-        return (q, p, g_new), None
-
-    (q_new, p_new, _), _ = jax.lax.scan(leapfrog, (noise_z, mom0, g),
-                                        None, length=L)
-    (u1, lml1), _ = U_vg(q_new)
+    eps_arr = jnp.full((L + 1,), eps, noise_z.dtype).at[0].set(0.0)
+    # Carry seeds must match the body's output dtypes (see hmc_params_step).
+    (u_s, lml_s), g_s = jax.eval_shape(U_vg, noise_z)
+    (q_new, p_new, _, u1, lml1), us = jax.lax.scan(
+        leapfrog, (noise_z, mom0, jnp.zeros(g_s.shape, g_s.dtype),
+                   jnp.zeros(u_s.shape, u_s.dtype),
+                   jnp.zeros(lml_s.shape, lml_s.dtype)), eps_arr)
+    u0 = us[0]
     dh = (u1 - u0) + 0.5 * (p_new * p_new - mom0 * mom0)
     accept = (jnp.log(jax.random.uniform(k_acc)) < -dh) & jnp.isfinite(dh)
     # Known tolerance: lml1 comes from lml_value_and_noise_grad's

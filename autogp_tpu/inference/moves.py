@@ -137,16 +137,26 @@ class MHResult(NamedTuple):
     accepted: jnp.ndarray
 
 
-def subtree_replace_step(key, node_type, params_z, noise_z, lml_cached,
-                         data, cfg: C.GPConfig, tables: M.PriorTables,
-                         biased=False):
-    """One subtree-replace involutive MH step for one particle.
+class MHProposal(NamedTuple):
+    """A structure-move proposal before likelihood scoring.
 
-    `data` = (ts, xs, mask); `lml_cached` is the current trace's LML so
-    only the proposed tree needs a fresh Cholesky.
+    `delta` carries every term of the involutive-MH log acceptance ratio
+    EXCEPT the likelihoods: log_alpha = (lml_new - lml_cached) + delta.
+    Splitting proposal from scoring lets the umbrella kernel select one
+    of several proposals by the mixture coin and pay for a single LML
+    evaluation (the only O(N^3) part) instead of one per move type.
     """
-    ts, xs, mask = data
-    k_pick, k_sub, k_acc = jax.random.split(key, 3)
+    node_type: jnp.ndarray
+    params: jnp.ndarray
+    delta: jnp.ndarray
+
+
+def subtree_replace_propose(key, node_type, params_z, cfg: C.GPConfig,
+                            tables: M.PriorTables, biased=False
+                            ) -> MHProposal:
+    """Subtree-replace proposal: pick a node, resimulate its subtree from
+    the prior (inference_rejuv_tree_sr.jl:17-47)."""
+    k_pick, k_sub = jax.random.split(key)
     D = tables.depth_cap
 
     sizes = T.subtree_sizes(node_type).astype(params_z.dtype)
@@ -168,21 +178,45 @@ def subtree_replace_step(key, node_type, params_z, noise_z, lml_cached,
     new_sizes = T.subtree_sizes(new_type).astype(params_z.dtype)
     logq_pick_bwd, _ = assess_pick_node(path, new_type, new_sizes, biased, D)
 
-    lml_new = M.lml(new_type, new_params, noise_z, ts, xs, mask, cfg, tables)
-
     # alpha = (score' - score) + logq_bwd - logq_fwd; the model-prior terms
     # use the same gating as the proposal so they appear symmetrically.
-    log_alpha = ((lml_new + lp_sub_new) - (lml_cached + lp_sub_old)
-                 + (logq_pick_bwd + lp_sub_old)
-                 - (logq_pick_fwd + lp_sub_new))
-    accept = jnp.log(jax.random.uniform(k_acc)) < log_alpha
-    accept = accept & jnp.isfinite(lml_new)
+    delta = (lp_sub_new - lp_sub_old
+             + (logq_pick_bwd + lp_sub_old)
+             - (logq_pick_fwd + lp_sub_new))
+    return MHProposal(node_type=new_type, params=new_params, delta=delta)
 
+
+def score_proposal(k_acc, prop: MHProposal, node_type, params_z, noise_z,
+                   lml_cached, data, cfg: C.GPConfig,
+                   tables: M.PriorTables) -> MHResult:
+    """Score a structure proposal (the single fresh Cholesky) and apply
+    the involutive-MH accept/reject."""
+    ts, xs, mask = data
+    lml_new = M.lml(prop.node_type, prop.params, noise_z, ts, xs, mask,
+                    cfg, tables)
+    log_alpha = (lml_new - lml_cached) + prop.delta
+    accept = jnp.log(jax.random.uniform(k_acc)) < log_alpha
+    accept = accept & jnp.isfinite(lml_new) & jnp.isfinite(log_alpha)
     return MHResult(
-        node_type=jnp.where(accept, new_type, node_type),
-        params=jnp.where(accept, new_params, params_z),
+        node_type=jnp.where(accept, prop.node_type, node_type),
+        params=jnp.where(accept, prop.params, params_z),
         lml=jnp.where(accept, lml_new, lml_cached),
         accepted=accept)
+
+
+def subtree_replace_step(key, node_type, params_z, noise_z, lml_cached,
+                         data, cfg: C.GPConfig, tables: M.PriorTables,
+                         biased=False):
+    """One subtree-replace involutive MH step for one particle.
+
+    `data` = (ts, xs, mask); `lml_cached` is the current trace's LML so
+    only the proposed tree needs a fresh Cholesky.
+    """
+    k_prop, k_acc = jax.random.split(key)
+    prop = subtree_replace_propose(k_prop, node_type, params_z, cfg,
+                                   tables, biased=biased)
+    return score_proposal(k_acc, prop, node_type, params_z, noise_z,
+                          lml_cached, data, cfg, tables)
 
 
 def tree_rejuvenation_step(key, node_type, params_z, noise_z, lml_cached,
@@ -191,23 +225,27 @@ def tree_rejuvenation_step(key, node_type, params_z, noise_z, lml_cached,
     """Umbrella involutive kernel: 50/50 mixture of subtree-replace and
     detach-attach (inference_rejuv_tree.jl:23-55); detach-attach is
     disabled when the depth cap is 1. The move_type choice density is
-    symmetric and cancels from the acceptance ratio."""
+    symmetric and cancels from the acceptance ratio.
+
+    Under vmap both proposals are computed for every particle (tree
+    surgery is cheap heap arithmetic), the mixture coin selects one, and
+    only the SELECTED proposal is scored — one LML Cholesky per MH step
+    instead of one per move type."""
     from autogp_tpu.inference import moves_da
 
     if tables.depth_cap == 1:
         return subtree_replace_step(key, node_type, params_z, noise_z,
                                     lml_cached, data, cfg, tables,
                                     biased=biased)
-    k_sel, k_mv = jax.random.split(key)
+    k_sel, k_mv, k_acc = jax.random.split(key, 3)
     use_da = jax.random.uniform(k_sel) < 0.5
-    res_sr = subtree_replace_step(k_mv, node_type, params_z, noise_z,
-                                  lml_cached, data, cfg, tables,
-                                  biased=biased)
-    res_da = moves_da.detach_attach_step(k_mv, node_type, params_z,
-                                         noise_z, lml_cached, data, cfg,
-                                         tables, biased=biased)
-    return MHResult(
-        node_type=jnp.where(use_da, res_da.node_type, res_sr.node_type),
-        params=jnp.where(use_da, res_da.params, res_sr.params),
-        lml=jnp.where(use_da, res_da.lml, res_sr.lml),
-        accepted=jnp.where(use_da, res_da.accepted, res_sr.accepted))
+    prop_sr = subtree_replace_propose(k_mv, node_type, params_z, cfg,
+                                      tables, biased=biased)
+    prop_da = moves_da.detach_attach_propose(k_mv, node_type, params_z,
+                                             tables, biased=biased)
+    prop = MHProposal(
+        node_type=jnp.where(use_da, prop_da.node_type, prop_sr.node_type),
+        params=jnp.where(use_da, prop_da.params, prop_sr.params),
+        delta=jnp.where(use_da, prop_da.delta, prop_sr.delta))
+    return score_proposal(k_acc, prop, node_type, params_z, noise_z,
+                          lml_cached, data, cfg, tables)

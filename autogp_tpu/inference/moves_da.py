@@ -261,19 +261,19 @@ def sample_aux(key, node_type, params_z, a, hole, force_cp, tables):
 # The move
 # ---------------------------------------------------------------------------
 
-def detach_attach_step(key, node_type, params_z, noise_z, lml_cached,
-                       data, cfg: C.GPConfig, tables: M.PriorTables,
-                       biased=False):
-    """One detach-attach involutive MH step for one particle.
+def detach_attach_propose(key, node_type, params_z,
+                          tables: M.PriorTables, biased=False
+                          ) -> "moves.MHProposal":
+    """Detach-attach proposal for one particle.
 
-    Chooses DETACH vs ATTACH with p_detach = .5 (0 for singleton trees),
-    applies the move, and accepts with the full involutive ratio including
-    the auxiliary-tree and path densities (da.jl:90-281).
+    Chooses DETACH vs ATTACH with p_detach = .5 (0 for singleton trees)
+    and applies the move; the returned delta carries the full involutive
+    ratio except the likelihoods — tree prior change, auxiliary-tree and
+    path densities (da.jl:90-281).
     """
-    ts, xs, mask = data
     D = tables.depth_cap
     dt = params_z.dtype
-    (k_move, k_pa, k_pb, k_path, k_aux, k_acc) = jax.random.split(key, 6)
+    (k_move, k_pa, k_pb, k_path, k_aux) = jax.random.split(key, 5)
 
     sizes = T.subtree_sizes(node_type).astype(dt)
     tree_size = sizes[0]
@@ -338,7 +338,7 @@ def detach_attach_step(key, node_type, params_z, noise_z, lml_cached,
         + jnp.where(p_detach_att > 0, 0.0, -jnp.inf) \
         + lq_pick_a_att + lq_pick_b_att
 
-    # ----- select branch, score, accept ------------------------------------
+    # ----- select branch, assemble proposal ---------------------------------
     nt_new = jnp.where(do_detach, nt_det, nt_att)
     pz_new = jnp.where(do_detach, pz_det, pz_att)
     lq_fwd = jnp.where(do_detach, lq_fwd_det, lq_fwd_att)
@@ -346,15 +346,17 @@ def detach_attach_step(key, node_type, params_z, noise_z, lml_cached,
 
     lp_tree_old = M.tree_prior_logpdf(node_type, params_z, tables)
     lp_tree_new = M.tree_prior_logpdf(nt_new, pz_new, tables)
-    lml_new = M.lml(nt_new, pz_new, noise_z, ts, xs, mask, cfg, tables)
+    delta = (lp_tree_new - lp_tree_old) + lq_bwd - lq_fwd
+    return moves.MHProposal(node_type=nt_new, params=pz_new, delta=delta)
 
-    log_alpha = ((lml_new + lp_tree_new) - (lml_cached + lp_tree_old)
-                 + lq_bwd - lq_fwd)
-    accept = jnp.log(jax.random.uniform(k_acc)) < log_alpha
-    accept = accept & jnp.isfinite(lml_new) & jnp.isfinite(log_alpha)
 
-    return moves.MHResult(
-        node_type=jnp.where(accept, nt_new, node_type),
-        params=jnp.where(accept, pz_new, params_z),
-        lml=jnp.where(accept, lml_new, lml_cached),
-        accepted=accept)
+def detach_attach_step(key, node_type, params_z, noise_z, lml_cached,
+                       data, cfg: C.GPConfig, tables: M.PriorTables,
+                       biased=False):
+    """One detach-attach involutive MH step for one particle (proposal +
+    likelihood scoring + accept/reject)."""
+    k_prop, k_acc = jax.random.split(key)
+    prop = detach_attach_propose(k_prop, node_type, params_z, tables,
+                                 biased=biased)
+    return moves.score_proposal(k_acc, prop, node_type, params_z, noise_z,
+                                lml_cached, data, cfg, tables)

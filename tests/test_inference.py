@@ -259,19 +259,20 @@ def test_smc_anneal_depth_smoke():
         assert ((nts[:, s] > 0) == is_op).all()
 
 
-def test_hmc_compaction_matches_uncompacted():
+@pytest.mark.parametrize("P,W", [(16, 8), (20, 8)])
+def test_hmc_compaction_matches_uncompacted(P, W):
     """The chunked HMC dispatch (gather enabled particles to the front,
     scan over fixed-width chunks) must be a pure execution-layout change:
     per-particle trajectories use per-particle keys, so results are
-    identical to the full-width masked path."""
+    identical to the full-width masked path. P=20 covers the padded case
+    (3 chunks of 8 for 20 particles: 4 duplicated trailing indices)."""
     rng = np.random.default_rng(3)
     n = 16
     ts = np.linspace(0, 1, n)
     xs = np.sin(2 * np.pi * 2 * ts) + 0.1 * rng.standard_normal(n)
     data = smc.make_dataset(ts, xs, n=n, pad_to=32)
-    P = 16  # chunk width 8: compaction active (2 chunks)
     parts = smc.initialize(jax.random.PRNGKey(5), P, data, CFG, TABLES)
-    assert smc._hmc_chunk_width(P, True) == 8
+    assert smc._hmc_chunk_width(P, True) == W
 
     key = jax.random.PRNGKey(11)
     hc = hmc_mod.HMCConfig(L_param=3, L_noise=3, n_exit=1)
