@@ -220,40 +220,51 @@ def aux_logpdf(node_type, params_z, a, hole, force_cp, tables):
 def sample_aux(key, node_type, params_z, a, hole, force_cp, tables):
     """Sample auxiliary structure for the slots in subtree(a) excluding
     subtree(hole); other slots are left untouched (the caller writes the
-    moved subtree into the hole region first)."""
-    Mn = node_type.shape[0]
+    moved subtree into the hole region first).
+
+    Like model.sample_subtree, the BFS dependence is parent -> child only,
+    so the loop runs over depth_cap LEVELS with each level sampled as one
+    batch (program size O(depth_cap), not O(2^depth_cap))."""
+    D = tables.depth_cap
     member_all = descend_mask(a, tables) & ~descend_mask(hole, tables)
     on_path_all = ancestor_mask_of(hole, tables) & member_all
-    keys = jax.random.split(key, Mn)
+    keys = jax.random.split(key, 2 * D)
 
     new_type = node_type
     new_params = params_z
-    for s in range(Mn):
-        member = member_all[s]
-        on_path = on_path_all[s]
-        if s == 0:
-            parent_t = new_type[0] * 0  # inactive sentinel
+    for lvl in range(D):
+        lo, hi = (1 << lvl) - 1, (1 << (lvl + 1)) - 1   # slots [lo, hi)
+        W = hi - lo
+        member = member_all[lo:hi]
+        on_path = on_path_all[lo:hi]
+        if lvl == 0:
+            parent_t = jnp.zeros((1,), node_type.dtype)  # inactive sentinel
         else:
-            parent_t = new_type[(s - 1) // 2]
-        is_a = jnp.asarray(s == a)
+            plo = (1 << (lvl - 1)) - 1
+            parent_t = jnp.repeat(new_type[plo:lo], 2)
+        is_a = jnp.arange(lo, hi) == a
         # Active: a itself, or child of an active aux/op parent. Children
         # of the path are always active (path nodes are ops); an off-path
         # slot is active iff its parent is an operator.
         active = member & (is_a | M.is_op_parent(parent_t))
         cp_allowed = jnp.where(is_a, jnp.asarray(tables.changepoints),
                                parent_t == C.CHANGEPOINT)
-        logits = _aux_dist_row(tables.depths[s], cp_allowed, on_path,
-                               force_cp, tables)
-        t = (jax.random.categorical(keys[s], logits) + 1).astype(
+        logits = jax.vmap(
+            lambda d, c, o: _aux_dist_row(d, c, o, force_cp, tables))(
+                tables.depths[lo:hi], cp_allowed, on_path)  # [W, 8]
+        t = (jax.random.categorical(keys[2 * lvl], logits) + 1).astype(
             node_type.dtype)
-        z = jax.random.normal(keys[s], (C.MAX_PARAMS,), params_z.dtype)
+        z = jax.random.normal(keys[2 * lvl + 1], (W, C.MAX_PARAMS),
+                              params_z.dtype)
         ar = tables.arity[t]
-        z = jnp.where(jnp.arange(C.MAX_PARAMS) < ar, z, 0.0)
+        z = jnp.where(jnp.arange(C.MAX_PARAMS)[None, :] < ar[:, None],
+                      z, 0.0)
         t = jnp.where(active, t, 0)
-        z = jnp.where(active, z, 0.0)
-        new_type = new_type.at[s].set(jnp.where(member, t, new_type[s]))
-        new_params = new_params.at[s].set(
-            jnp.where(member, z, new_params[s]))
+        z = jnp.where(active[:, None], z, 0.0)
+        new_type = new_type.at[lo:hi].set(
+            jnp.where(member, t, new_type[lo:hi]))
+        new_params = new_params.at[lo:hi].set(
+            jnp.where(member[:, None], z, new_params[lo:hi]))
     return new_type, new_params
 
 

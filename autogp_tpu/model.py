@@ -183,8 +183,7 @@ def tree_prior_logpdf(node_type, params_z, tables: PriorTables,
     slot_mask = (jnp.arange(C.MAX_PARAMS)[None, :] < ar[:, None])
     logp_params = jnp.sum(normal_logpdf(params_z) * slot_mask, axis=1)
 
-    member = jax.vmap(lambda s: in_subtree(s, root_idx, tables))(
-        jnp.arange(M))
+    member = jnp.any(tables.ancestors == root_idx, axis=1)
     contrib = jnp.where(active & member, logp_type + logp_params, 0.0)
     return jnp.sum(contrib)
 
@@ -199,40 +198,47 @@ def sample_subtree(key, node_type, params_z, tables: PriorTables,
 
     Slots outside the subtree keep their current values; slots inside are
     overwritten (inactive descendants get node_type 0 / params 0). Returns
-    (node_type', params_z'). Works under vmap/jit: the BFS loop over heap
-    slots is static.
+    (node_type', params_z'). Works under vmap/jit: the BFS dependence is
+    only parent -> child, so the loop runs over the depth_cap LEVELS with
+    each level's slots sampled as one batch (program size O(depth_cap),
+    not O(2^depth_cap) — the per-slot form dominated SMC-round compiles).
     """
-    M = node_type.shape[0]
+    D = tables.depth_cap
     if root_cp_allowed is None:
         root_cp_allowed = jnp.asarray(tables.changepoints)
 
-    keys = jax.random.split(key, M)
+    keys = jax.random.split(key, 2 * D)
     new_type = jnp.zeros_like(node_type)
     new_params = jnp.zeros_like(params_z)
 
-    for s in range(M):
-        if s == 0:
-            parent_t = jnp.asarray(C.INACTIVE, dtype=node_type.dtype)
+    for lvl in range(D):
+        lo, hi = (1 << lvl) - 1, (1 << (lvl + 1)) - 1   # slots [lo, hi)
+        W = hi - lo
+        if lvl == 0:
+            parent_t = jnp.full((1,), C.INACTIVE, node_type.dtype)
         else:
-            parent_t = new_type[(s - 1) // 2]
-        member = in_subtree(s, root_idx, tables)
-        is_root = s == root_idx
+            plo = (1 << (lvl - 1)) - 1
+            parent_t = jnp.repeat(new_type[plo:lo], 2)
+        slots = jnp.arange(lo, hi)
+        member = jnp.any(tables.ancestors[lo:hi] == root_idx, axis=1)
+        is_root = slots == root_idx
         # Active inside the subtree: the root itself, or child of an op.
         active = member & (is_root | is_op_parent(parent_t))
         cp_allowed = jnp.where(is_root, root_cp_allowed,
                                parent_t == C.CHANGEPOINT)
-        row = _dist_row(tables.depths[s], cp_allowed, tables)
-        logits = tables.log_node_dist[row]
-        t = jax.random.categorical(keys[s], logits) + 1
+        row = _dist_row(tables.depths[lo:hi], cp_allowed, tables)
+        logits = tables.log_node_dist[row]               # [W, 8]
+        t = jax.random.categorical(keys[2 * lvl], logits) + 1
         t = jnp.where(active, t, 0).astype(node_type.dtype)
-        z = jax.random.normal(keys[s], (C.MAX_PARAMS,), params_z.dtype)
+        z = jax.random.normal(keys[2 * lvl + 1], (W, C.MAX_PARAMS),
+                              params_z.dtype)
         ar = tables.arity[t]
-        z = jnp.where(jnp.arange(C.MAX_PARAMS) < ar, z, 0.0)
-        new_type = new_type.at[s].set(t)
-        new_params = new_params.at[s].set(z)
+        z = jnp.where(jnp.arange(C.MAX_PARAMS)[None, :] < ar[:, None],
+                      z, 0.0)
+        new_type = new_type.at[lo:hi].set(t)
+        new_params = new_params.at[lo:hi].set(z)
 
-    member_all = jax.vmap(lambda s: in_subtree(s, root_idx, tables))(
-        jnp.arange(M))
+    member_all = jnp.any(tables.ancestors == root_idx, axis=1)
     out_type = jnp.where(member_all, new_type, node_type)
     out_params = jnp.where(member_all[:, None], new_params, params_z)
     return out_type, out_params
