@@ -34,6 +34,18 @@ LOG2PI = math.log(2.0 * math.pi)
 # (CLAUDE.md invariant). No-op on CPU float64.
 HI = jax.lax.Precision.HIGHEST
 
+# Precision for contractions that feed ONLY gradient cotangents (never an
+# LML value): K^-1 / beta / tri-inverse inside custom-VJP backward rules.
+# On the TPU MXU, f32 dot_general is emulated in bf16 passes — measured on
+# v5e at [64,1024,1024]: DEFAULT (1 pass) 0.88 ms / 5.6e-3 rel err, HIGH
+# (3 passes) 2.18 ms / 5.1e-5, HIGHEST (6 passes) 4.41 ms / 2.1e-7
+# (scripts/bench_precision.py). HMC leapfrog with a deterministic
+# approximate gradient is still reversible and volume-preserving, so MH
+# acceptance with the exact LML stays unbiased (Neal 2011, ch.5) — a 5e-5
+# gradient error only perturbs the acceptance RATE imperceptibly. LML
+# values entering accept ratios always stay at HIGHEST.
+GRAD_PRECISION = jax.lax.Precision.HIGH
+
 
 # ---------------------------------------------------------------------------
 # Static heap helpers
@@ -241,7 +253,7 @@ def diag_fast(L, block: int = 128):
     return jnp.concatenate(parts, axis=-1)
 
 
-def tri_inv_blocked(L, base: int = 16):
+def tri_inv_blocked(L, base: int = 16, precision=HI):
     """Inverse of a lower-triangular matrix via recursive 2x2 blocking.
 
     inv([[A, 0], [B, C]]) = [[inv(A), 0], [-inv(C) B inv(A), inv(C)]].
@@ -250,6 +262,9 @@ def tri_inv_blocked(L, base: int = 16):
     level with batched matmuls — the N^3/3 FLOPs land on the MXU instead
     of XLA's sequential triangular-solve loop. Supports leading batch
     dims. N must be a power-of-two multiple of `base`.
+
+    `precision` applies to the combine-level matmuls; pass GRAD_PRECISION
+    when the inverse feeds only gradient cotangents.
     """
     *batch, N, _ = L.shape
     Lb = L.reshape((-1, N, N))
@@ -260,7 +275,8 @@ def tri_inv_blocked(L, base: int = 16):
     # --- base: [P, N/base, base, base] diagonal blocks ---------------------
     nb = N // base
     blocks = _diag_blocks(Lb, base)                       # [P, nb, b, b]
-    inv = _tri_inv_base(blocks.reshape(P * nb, base, base))
+    inv = _tri_inv_base(blocks.reshape(P * nb, base, base),
+                        precision=precision)
     inv = inv.reshape(P, nb, base, base)
 
     # --- combine pairs: s -> 2s ---------------------------------------------
@@ -277,8 +293,7 @@ def tri_inv_blocked(L, base: int = 16):
                           2 * k * s:(2 * k + 1) * s]
                        for k in range(K2)], axis=1)        # [P, K2, s, s]
         X = -jnp.einsum("pkij,pkjl,pklm->pkim", Cc, B, A,
-                        preferred_element_type=dt,
-                        precision=jax.lax.Precision.HIGHEST)
+                        preferred_element_type=dt, precision=precision)
         top = jnp.concatenate([A, jnp.zeros_like(A)], axis=3)
         bot = jnp.concatenate([X, Cc], axis=3)
         inv = jnp.concatenate([top, bot], axis=2)          # [P, K2, 2s, 2s]
@@ -294,7 +309,7 @@ def _diag_blocks(Lb, s):
                       for k in range(K)], axis=1)
 
 
-def _tri_inv_base(A):
+def _tri_inv_base(A, precision=HI):
     """Unrolled forward-substitution inverse of [B, n, n] lower-tri."""
     B, n, _ = A.shape
     rows = []
@@ -306,7 +321,7 @@ def _tri_inv_base(A):
             W = jnp.stack(rows, axis=1)                    # [B, i, n]
             acc = jnp.einsum("bi,bin->bn", A[:, i, :i], W,
                              preferred_element_type=A.dtype,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=precision)
             row = (-acc).at[:, i].add(1.0) * dinv[:, i:i + 1]
             row = row * (jnp.arange(n) <= i)
         rows.append(row)
@@ -324,10 +339,11 @@ def mvn_logpdf_masked_cvjp(K, x, mask, pregram=False):
     replaces the whole autodiff chain. Semantics identical to
     mvn_logpdf_masked (Model.jl:136 mvnormal logpdf).
 
-    The primal and fwd rule use the Pallas batched Cholesky on TPU
-    (safe here: custom_vjp shields both from AD). The fwd rule also
-    trades the sequential triangular solve for the blocked triangular
-    inverse, which the backward pass then reuses for K^-1.
+    The primal and fwd rule run the SAME fused Pallas factor+solve on
+    TPU (safe here: custom_vjp shields both from AD), so the value under
+    jax.grad is bit-identical to the primal. The backward pass forms
+    K^-1 via the blocked triangular inverse at GRAD_PRECISION (the
+    cotangent never feeds an LML value).
 
     `pregram=True` asserts K is ALREADY the padded-identity gram (the
     Pallas assembly kernels emit it directly), skipping a redundant
@@ -373,7 +389,7 @@ def solve_lower_blocked(L, x, block: int = 128):
     return alpha
 
 
-def kinv_from_linv(Linv, block: int = 128):
+def kinv_from_linv(Linv, block: int = 128, precision=HI):
     """K^-1 = Linv^T Linv exploiting Linv's lower-triangular structure.
 
     The dense einsum contracts over all N rows, but Linv[k, c] = 0 for
@@ -384,7 +400,8 @@ def kinv_from_linv(Linv, block: int = 128):
     """
     *batch, N, _ = Linv.shape
     if N % block != 0 or N == block:
-        return jnp.matmul(jnp.swapaxes(Linv, -1, -2), Linv, precision=HI)
+        return jnp.matmul(jnp.swapaxes(Linv, -1, -2), Linv,
+                          precision=precision)
     Lb = Linv.reshape((-1, N, N))
     nb = N // block
     blocks = [[None] * nb for _ in range(nb)]
@@ -396,7 +413,7 @@ def kinv_from_linv(Linv, block: int = 128):
             Bij = jnp.einsum(
                 "pki,pkj->pij", R[:, :, i * block:(i + 1) * block],
                 R[:, :, j * block:(j + 1) * block],
-                preferred_element_type=Linv.dtype, precision=HI)
+                preferred_element_type=Linv.dtype, precision=precision)
             blocks[i][j] = Bij
             if j < i:
                 blocks[j][i] = jnp.swapaxes(Bij, -1, -2)
@@ -406,38 +423,32 @@ def kinv_from_linv(Linv, block: int = 128):
 
 
 def _mvn_logpdf_masked_fwd(K, x, mask, pregram=False):
+    # Identical computation to the primal (fused Pallas factor+solve on
+    # TPU): the value seen under jax.grad is bit-identical to model.lml,
+    # so cached particle LMLs never drift from reweight's recomputation.
     Km = K if pregram else masked_gram(K, mask)
-    L = _chol(Km)
+    from autogp_tpu.ops import chol_pallas
+    L, alpha = chol_pallas.chol_solve_psd(Km, x * mask)
     n = jnp.sum(mask)
     logdet = 2.0 * jnp.sum(jnp.log(diag_fast(L)) * mask)
-    xm = x * mask
-    N = L.shape[0]
-    if _use_blocked_inv(N):
-        # Blocked triangular inverse: alpha becomes a matvec here, and the
-        # backward pass reuses Linv for K^-1 = Linv^T Linv — all MXU work,
-        # no sequential triangular solves anywhere in the grad path.
-        Linv = tri_inv_blocked(L)
-        alpha = jnp.matmul(Linv, xm, precision=HI)
-        res = (Linv, alpha, mask)
-    else:
-        alpha = jax.scipy.linalg.solve_triangular(L, xm, lower=True)
-        res = (L, alpha, mask)
     out = -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
-    return out, res
+    return out, (L, alpha, mask)
 
 
 def _mvn_logpdf_masked_bwd(pregram, res, g):
-    Lres, alpha, mask = res
-    N = Lres.shape[0]
+    L, alpha, mask = res
+    N = L.shape[0]
     if _use_blocked_inv(N):
-        Linv = Lres
-        beta = jnp.matmul(Linv.T, alpha, precision=HI)
-        Kinv = kinv_from_linv(Linv)
+        # Blocked triangular inverse — all MXU work, no sequential
+        # triangular solves. Gradient-only: runs at GRAD_PRECISION.
+        Linv = tri_inv_blocked(L, precision=GRAD_PRECISION)
+        beta = jnp.matmul(Linv.T, alpha, precision=GRAD_PRECISION)
+        Kinv = kinv_from_linv(Linv, precision=GRAD_PRECISION)
     else:
-        beta = jax.scipy.linalg.solve_triangular(Lres, alpha, lower=True,
+        beta = jax.scipy.linalg.solve_triangular(L, alpha, lower=True,
                                                  trans=1)
-        eye = jnp.eye(N, dtype=Lres.dtype)
-        Kinv = jax.scipy.linalg.cho_solve((Lres, True), eye)
+        eye = jnp.eye(N, dtype=L.dtype)
+        Kinv = jax.scipy.linalg.cho_solve((L, True), eye)
     m2 = mask[:, None] * mask[None, :]
     Kbar = (0.5 * g) * (beta[:, None] * beta[None, :] - Kinv) * m2
     xbar = (-g) * beta

@@ -145,13 +145,12 @@ def hmc_noise_step(key, node_type, params_z, noise_z, lml_cached, data,
     u0 = us[0]
     dh = (u1 - u0) + 0.5 * (p_new * p_new - mom0 * mom0)
     accept = (jnp.log(jax.random.uniform(k_acc)) < -dh) & jnp.isfinite(dh)
-    # Known tolerance: lml1 comes from lml_value_and_noise_grad's
-    # Linv-matvec form while reweight recomputes through model.lml's
-    # blocked-solve form. Both run all K-sized contractions at HIGHEST
-    # precision, so the cached-vs-recomputed drift is at the float32
-    # rounding level (~1e-6 relative) and only perturbs SMC incremental
-    # weights by that amount; reweight always recomputes from scratch, so
-    # the drift never accumulates.
+    # lml1 comes from lml_value_and_noise_grad's fused factor+solve —
+    # the SAME algorithm as model.lml's primal (gp_math r2 rework), so
+    # cached-vs-recomputed drift is limited to the assembly difference
+    # (tape kernel with in-kernel noise diag vs K0 + noise*I), at the
+    # float32 rounding level; reweight always recomputes from scratch,
+    # so it never accumulates.
     return (jnp.where(accept, q_new, noise_z),
             jnp.where(accept, lml1, lml_cached),
             accept)

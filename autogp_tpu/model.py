@@ -327,14 +327,16 @@ def lml_value_and_noise_grad_from_K0(K0, noise_z, xs, mask,
     noise = transform_noise(noise_z, config)
     eye = jnp.eye(N, dtype=K0.dtype)
     Km = K0 + (noise * mask) * eye
-    L = gp_math._chol(Km)
-    Linv = gp_math.tri_inv_blocked(L)
-    xm = xs * mask
-    alpha = jnp.matmul(Linv, xm, precision=gp_math.HI)
+    # Fused factor+solve for the VALUE (same algorithm as model.lml's
+    # primal); Linv only feeds the gradient (trace + beta), so it runs
+    # at GRAD_PRECISION (see gp_math.GRAD_PRECISION).
+    from autogp_tpu.ops import chol_pallas
+    L, alpha = chol_pallas.chol_solve_psd(Km, xs * mask)
+    Linv = gp_math.tri_inv_blocked(L, precision=gp_math.GRAD_PRECISION)
     n = jnp.sum(mask)
     logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
     val = -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
-    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.HI)
+    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.GRAD_PRECISION)
     tr_active = jnp.sum(Linv * Linv) - (N - n)
     dlml_dnoise = -0.5 * (tr_active - jnp.sum(beta * beta))
     p = config.prior["wildcard"]
@@ -378,14 +380,13 @@ def lml_value_and_noise_grad(node_type, params_z, noise_z, ts, xs, mask,
         K = 0.5 * (K + K.T)
         K = K + noise * jnp.eye(N, dtype=K.dtype)
         Km = gp_math.masked_gram(K, mask)
-    L = gp_math._chol(Km)
-    Linv = gp_math.tri_inv_blocked(L)
-    xm = xs * mask
-    alpha = jnp.matmul(Linv, xm, precision=gp_math.HI)
+    from autogp_tpu.ops import chol_pallas
+    L, alpha = chol_pallas.chol_solve_psd(Km, xs * mask)
+    Linv = gp_math.tri_inv_blocked(L, precision=gp_math.GRAD_PRECISION)
     n = jnp.sum(mask)
     logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
     val = -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
-    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.HI)
+    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.GRAD_PRECISION)
     tr_active = jnp.sum(Linv * Linv) - (N - n)
     dlml_dnoise = -0.5 * (tr_active - jnp.sum(beta * beta))
     # d noise / d noise_z: log-normal transform + constant jitter.

@@ -687,22 +687,26 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
         return gp_math.mvn_logpdf_masked_cvjp(K, xs, mask, True)
 
     def fwd(par, nz):
+        # Same fused factor+solve as the primal: the value under grad is
+        # bit-identical to model.lml; tri_inv moves to the backward where
+        # it is gradient-only and runs at GRAD_PRECISION.
+        from autogp_tpu.ops import chol_pallas
         K = cov_pallas.cov_matrix_tape(node_type, par, nz, ts, mask,
                                        depth_cap, interpret=interpret)
-        L = gp_math._chol(K)
-        Linv = gp_math.tri_inv_blocked(L)
-        xm = xs * mask
-        alpha = jnp.matmul(Linv, xm, precision=jax.lax.Precision.HIGHEST)
+        L, alpha = chol_pallas.chol_solve_psd(K, xs * mask)
         n = jnp.sum(mask)
         logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
         out = -0.5 * (n * gp_math.LOG2PI + logdet + jnp.sum(alpha * alpha))
-        return out, (par, Linv, alpha)
+        return out, (par, L, alpha)
 
     def bwd(res, g):
-        par, Linv, alpha = res
+        par, L, alpha = res
+        Linv = gp_math.tri_inv_blocked(L,
+                                       precision=gp_math.GRAD_PRECISION)
         beta = jnp.matmul(Linv.T, alpha,
-                          precision=jax.lax.Precision.HIGHEST)
-        Kinv = gp_math.kinv_from_linv(Linv)
+                          precision=gp_math.GRAD_PRECISION)
+        Kinv = gp_math.kinv_from_linv(Linv,
+                                      precision=gp_math.GRAD_PRECISION)
         pbar, nbar = _cov_grads_tape(node_type, par, Kinv, ts, mask,
                                      depth_cap, masked=True,
                                      interpret=interpret, beta=beta,
