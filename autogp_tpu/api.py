@@ -79,15 +79,34 @@ def _default_dtype():
 # GPModel (api.jl:83-112)
 # ---------------------------------------------------------------------------
 
+def _normalize_mesh(mesh):
+    """Accept a jax.sharding.Mesh or an int device count (api surface:
+    parallelism stays invisible beyond this one argument, the TPU analog
+    of the reference's n_particles=Threads.nthreads() default,
+    api.jl:95)."""
+    if mesh is None:
+        return None
+    if isinstance(mesh, int):
+        from autogp_tpu.parallel import mesh as pmesh
+        return pmesh.particle_mesh(mesh)
+    return mesh
+
+
 class GPModel:
     """Weighted particle collection over GP kernel structures + parameters.
 
     Fields mirror the reference: particles (pf_state), config, raw ds/y,
     and the two LinearTransforms fixed at construction.
+
+    `mesh` (optional): a 1-D jax.sharding.Mesh over the particle axis, or
+    an int device count. The particle batch then lives sharded across the
+    mesh for construction, fitting, streaming updates, and prediction;
+    results are identical to the single-device program.
     """
 
     def __init__(self, ds, y, n_particles: int = 8,
-                 config: GPConfig = None, _defer_init: bool = False):
+                 config: GPConfig = None, _defer_init: bool = False,
+                 mesh=None):
         self.config = config or GPConfig()
         self.tables = M.prior_tables(self.config)
         self.ds = np.asarray(ds)
@@ -97,17 +116,22 @@ class GPModel:
         self.ds_transform = TR.LinearTransform.from_minmax(ds_n, 0, 1)
         self.y_transform = TR.LinearTransform.from_mean_width(self.y, 1)
         self._n_particles = n_particles
+        self.mesh = _normalize_mesh(mesh)
+        if self.mesh is not None and n_particles % self.mesh.size != 0:
+            raise ValueError(
+                f"n_particles={n_particles} not divisible by mesh size "
+                f"{self.mesh.size}")
         if not _defer_init:
             data = self._dataset()
-            self.particles = smc.initialize(
+            self.particles = self._shard(smc.initialize(
                 _next_key(), n_particles, data, self.config, self.tables,
-                dtype=self.dtype)
+                dtype=self.dtype, mesh=self.mesh))
 
     # -- internal ----------------------------------------------------------
 
     @classmethod
     def _from_state(cls, particles, config, ds, y, ds_transform,
-                    y_transform) -> "GPModel":
+                    y_transform, mesh=None) -> "GPModel":
         m = cls.__new__(cls)
         m.config = config
         m.tables = M.prior_tables(config)
@@ -116,9 +140,16 @@ class GPModel:
         m.dtype = particles.params.dtype
         m.ds_transform = ds_transform
         m.y_transform = y_transform
-        m.particles = particles
+        m.mesh = _normalize_mesh(mesh)
+        m.particles = m._shard(particles)
         m._n_particles = particles.n_particles
         return m
+
+    def _shard(self, particles: smc.Particles) -> smc.Particles:
+        if self.mesh is None:
+            return particles
+        from autogp_tpu.parallel import mesh as pmesh
+        return pmesh.shard_particles(particles, self.mesh)
 
     def _ds_numeric(self, ds=None) -> np.ndarray:
         return self.ds_transform.apply(to_numeric(self.ds if ds is None
@@ -240,7 +271,7 @@ def fit_smc(model: GPModel, schedule: Sequence[int], n_mcmc, n_hmc,
         permutation=perm, adaptive_resampling=adaptive_resampling,
         adaptive_rejuvenation=adaptive_rejuvenation, verbose=verbose,
         check=check, callback_fn=cb, dtype=model.dtype,
-        hmc_compact=hmc_compact)
+        hmc_compact=hmc_compact, mesh=model.mesh)
     return model
 
 
@@ -256,29 +287,17 @@ def mcmc_structure(model: GPModel, n_mcmc: int, n_hmc: int,
     hc = _hmc_config(hmc_config, default_n_exit=2)
     infer_noise = model.config.noise is None
     key = _next_key()
-    particles, n_acc, _n_sweeps = _rejuvenate_jit(
-        model.config, model.tables, n_mcmc, n_hmc, biased, hc, infer_noise
-    )(key, model.particles, data)
+    particles, n_acc, _n_sweeps, check_ok = smc.rejuvenate_jit(
+        model.config, model.tables, n_mcmc, n_hmc, biased, hc, infer_noise,
+        check=check)(key, model.particles, data)
     model.particles = particles
     if check:
+        ok = np.asarray(check_ok)
+        assert ok.all(), "per-move involution round trip failed"
         from autogp_tpu.inference.smc import validate_particles
         validate_particles(particles, model.config, tables=model.tables,
                            key=_next_key())
     return np.asarray(n_acc)
-
-
-_rejuv_cache = {}
-
-def _rejuvenate_jit(cfg, tables, n_mcmc, n_hmc, biased, hc, infer_noise):
-    sig = (cfg.cache_key, n_mcmc, n_hmc, biased, hc, infer_noise)
-    if sig not in _rejuv_cache:
-        def f(key, particles, data):
-            from autogp_tpu.inference.smc import rejuvenate_structure
-            return rejuvenate_structure(key, particles, data, cfg, tables,
-                                        n_mcmc, n_hmc, biased, hc,
-                                        infer_noise)
-        _rejuv_cache[sig] = jax.jit(f)
-    return _rejuv_cache[sig]
 
 
 def fit_mcmc(model: GPModel, n_mcmc: int, n_hmc: int,
@@ -298,27 +317,41 @@ def fit_mcmc(model: GPModel, n_mcmc: int, n_hmc: int,
     return model
 
 
+_mcmc_params_cache = {}
+
+
+def _mcmc_parameters_jit(cfg, tables, n_hmc, hc, infer_noise):
+    """Content-keyed jit (data is an operand, not a baked constant, so
+    repeated calls with updated data do not re-trace)."""
+    sig = (cfg.cache_key, n_hmc, hc, infer_noise)
+    if sig not in _mcmc_params_cache:
+        def f(key, particles, data):
+            d = (data.ts, data.xs, data.mask)
+
+            def one(k, nt, pz, nz, lml):
+                return hmc_mod.rejuvenate_parameters(
+                    k, nt, pz, nz, lml, d, cfg, tables, n_hmc, hc,
+                    infer_noise)
+
+            P = particles.node_type.shape[0]
+            pz, nz, lml, n_acc, _sw = jax.vmap(one)(
+                jax.random.split(key, P), particles.node_type,
+                particles.params, particles.noise_z, particles.lml)
+            return particles._replace(params=pz, noise_z=nz,
+                                      lml=lml), n_acc
+        _mcmc_params_cache[sig] = jax.jit(f)
+    return _mcmc_params_cache[sig]
+
+
 def mcmc_parameters(model: GPModel, n_hmc: int, hmc_config=None,
                     verbose: bool = False, check: bool = False):
     """n_hmc HMC sweeps on all particles (api.jl:385-393)."""
     data = model._dataset()
     hc = _hmc_config(hmc_config, default_n_exit=n_hmc)
     infer_noise = model.config.noise is None
-    key = _next_key()
-    P = model.num_particles
-
-    def f(key, particles):
-        d = (data.ts, data.xs, data.mask)
-        def one(k, nt, pz, nz, lml):
-            return hmc_mod.rejuvenate_parameters(
-                k, nt, pz, nz, lml, d, model.config, model.tables, n_hmc,
-                hc, infer_noise)
-        pz, nz, lml, n_acc, _sw = jax.vmap(one)(
-            jax.random.split(key, P), particles.node_type,
-            particles.params, particles.noise_z, particles.lml)
-        return particles._replace(params=pz, noise_z=nz, lml=lml), n_acc
-
-    model.particles, n_acc = jax.jit(f)(key, model.particles)
+    model.particles, n_acc = _mcmc_parameters_jit(
+        model.config, model.tables, n_hmc, hc, infer_noise)(
+        _next_key(), model.particles, data)
     return np.asarray(n_acc)
 
 
@@ -347,16 +380,27 @@ def remove_data(model: GPModel, ds):
     return model
 
 
+_reweight_cache = {}
+
+
 def _reweight_current(model: GPModel):
+    """Content-keyed jitted reweight — the streaming entry point
+    (add_data/remove_data) must not re-trace per call."""
     data = model._dataset()
-    model.particles = jax.jit(
-        lambda p, d: smc.reweight(p, d, model.config, model.tables)
-    )(model.particles, data)
+    sig = model.config.cache_key
+    if sig not in _reweight_cache:
+        cfg, tables = model.config, model.tables
+        _reweight_cache[sig] = jax.jit(
+            lambda p, d: smc.reweight(p, d, cfg, tables))
+    model.particles = _reweight_cache[sig](model.particles, data)
 
 
 def maybe_resample(model: GPModel, ess_threshold: float) -> bool:
-    resampled_particles, did = smc.maybe_resample(
-        _next_key(), model.particles, ess_threshold)
+    """Adaptive multinomial resample (api.jl:472-479); jitted (the eager
+    form dispatches every op through the remote relay individually)."""
+    resampled_particles, did = smc.maybe_resample_jit(
+        _next_key(), model.particles,
+        jnp.asarray(ess_threshold, model.dtype))
     model.particles = resampled_particles
     return bool(did)
 
@@ -401,6 +445,50 @@ def _posterior_all(model: GPModel, ds_pred, noise_pred: Optional[float]):
     return np.asarray(mus, np.float64), np.asarray(covs, np.float64)
 
 
+_posterior_summary_cache = {}
+
+
+def _posterior_summary_jit(cfg: GPConfig, has_noise_pred: bool):
+    """Marginal-summary posterior: per-particle (mu, std) only.
+
+    `predict` needs only marginal means/quantiles (GP.jl:1006-1012 takes
+    marginal stds), so shipping the full [p,p] covariance per particle
+    over the device->host link is pure waste — at N=200 batch-1 the
+    [p,p] transfer dominates the 4 ms/eval latency (BENCH.md config 1a).
+    This program returns [p] mu + [p] std per particle: O(p) instead of
+    O(p^2) bytes on the relay."""
+    sig = (cfg.cache_key, has_noise_pred)
+    if sig not in _posterior_summary_cache:
+        def one(nt, pz, nz, ts, xs, mask, tsp, np_pred, ttable):
+            pt = M.transform_params(nt, pz, ttable)
+            noise = M.transform_noise(nz, cfg)
+            mu, cov = gp_math.posterior_mvn_masked(
+                nt, pt, noise, ts, xs, mask, tsp, cfg.depth_cap,
+                noise_pred=(np_pred if has_noise_pred else None))
+            std = jnp.sqrt(jnp.clip(jnp.diagonal(cov), 0.0, None))
+            return mu, std
+
+        _posterior_summary_cache[sig] = jax.jit(jax.vmap(
+            one, in_axes=(0, 0, 0, None, None, None, None, None, None)))
+    return _posterior_summary_cache[sig]
+
+
+def _posterior_summary_all(model: GPModel, ds_pred,
+                           noise_pred: Optional[float]):
+    """Per-particle posterior marginals (mu, std) at ds_pred, MODEL
+    space."""
+    data = model._dataset()
+    tsp = jnp.asarray(model._ds_numeric(ds_pred), dtype=model.dtype)
+    np_pred = jnp.asarray(noise_pred if noise_pred is not None else 0.0,
+                          model.dtype)
+    fn = _posterior_summary_jit(model.config, noise_pred is not None)
+    mus, stds = fn(model.particles.node_type, model.particles.params,
+                   model.particles.noise_z, data.ts, data.xs, data.mask,
+                   tsp, np_pred,
+                   jnp.asarray(model.tables.ttable, model.dtype))
+    return np.asarray(mus, np.float64), np.asarray(stds, np.float64)
+
+
 def predict_mvn(model: GPModel, ds, noise_pred: Optional[float] = None
                 ) -> MixtureMvNormal:
     """Posterior predictive mixture in the original data space."""
@@ -415,26 +503,30 @@ def predict_mvn(model: GPModel, ds, noise_pred: Optional[float] = None
 
 def predict(model: GPModel, ds, quantiles: Sequence[float] = (),
             noise_pred: Optional[float] = None) -> pd.DataFrame:
-    """Per-particle predictive means/quantiles (api.jl:633-661)."""
+    """Per-particle predictive means/quantiles (api.jl:633-661).
+
+    Uses the marginal-summary device program (mu/std only, never the
+    full [p,p] covariance): identical output to the reference's
+    quantile path (GP.jl:1006-1012 takes marginal stds), O(p) transfer."""
+    from scipy.stats import norm as _norm
+
     quantiles = list(quantiles)
     if not all(0 <= q <= 1 for q in quantiles):
         raise ValueError("Quantiles must be in [0,1]")
-    mus, covs = _posterior_all(model, ds, noise_pred)
+    mus, stds = _posterior_summary_all(model, ds, noise_pred)
     weights = model.particle_weights()
     frames = []
     nq = len(ds)
     for i in range(model.num_particles):
-        mvn = MvNormal(mus[i], covs[i])
         rec = {
             "ds": np.asarray(ds),
             "particle": np.full(nq, i + 1),
             "weight": np.full(nq, weights[i]),
-            "y_mean": model.y_transform.unapply(mvn.mean),
+            "y_mean": model.y_transform.unapply(mus[i]),
         }
-        if quantiles:
-            bounds = mvn.quantile(quantiles)
-            for j, q in enumerate(quantiles):
-                rec[f"y_{q}"] = model.y_transform.unapply(bounds[:, j])
+        for q in quantiles:
+            rec[f"y_{q}"] = model.y_transform.unapply(
+                _norm.ppf(q, loc=mus[i], scale=stds[i]))
         frames.append(pd.DataFrame(rec))
     return pd.concat(frames, ignore_index=True)
 
@@ -499,7 +591,8 @@ def gp_model_from_kernels(model: GPModel, kernels: List[GP.Node]
         kernels, np.asarray(model.particles.noise_z), model, model.config,
         log_weights=np.asarray(model.particles.log_weights))
     return GPModel._from_state(particles, model.config, model.ds, model.y,
-                               model.ds_transform, model.y_transform)
+                               model.ds_transform, model.y_transform,
+                               mesh=model.mesh)
 
 
 def decompose(model: GPModel) -> List[GPModel]:

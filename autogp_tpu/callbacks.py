@@ -54,7 +54,7 @@ def make_smc_callback(fn: Callable, model, **kwargs) -> Callable:
         y_perm = model.y[permutation]
         current = GPModel._from_state(
             particles, model.config, ds_perm[:step], y_perm[:step],
-            model.ds_transform, model.y_transform)
+            model.ds_transform, model.y_transform, mesh=model.mesh)
         return fn(**kwargs,
                   model=current,
                   ds_next=ds_perm[step:],

@@ -39,11 +39,17 @@ HI = jax.lax.Precision.HIGHEST
 # On the TPU MXU, f32 dot_general is emulated in bf16 passes — measured on
 # v5e at [64,1024,1024]: DEFAULT (1 pass) 0.88 ms / 5.6e-3 rel err, HIGH
 # (3 passes) 2.18 ms / 5.1e-5, HIGHEST (6 passes) 4.41 ms / 2.1e-7
-# (scripts/bench_precision.py). HMC leapfrog with a deterministic
-# approximate gradient is still reversible and volume-preserving, so MH
-# acceptance with the exact LML stays unbiased (Neal 2011, ch.5) — a 5e-5
-# gradient error only perturbs the acceptance RATE imperceptibly. LML
-# values entering accept ratios always stay at HIGHEST.
+# (scripts/bench_precision.py). The realized error of the full backward
+# CHAIN grows with cond(K) — tri_inv_blocked compounds through
+# ~log2(N/16) combine levels and kinv_from_linv squares Linv — so on an
+# ill-conditioned small-noise gram (cond ~1e6, N=1024) the K^-1 error is
+# HIGH 9.3e-4 vs HIGHEST 5.5e-6 vs the same chain's f64 reference
+# (bench_precision.bwd_chain_case, v5e; tests/test_tpu_kernels.py pins a
+# hardware bound). HMC leapfrog with a deterministic approximate gradient
+# is still reversible and volume-preserving, so MH acceptance with the
+# exact LML stays unbiased (Neal 2011, ch.5) — gradient error only
+# perturbs the acceptance RATE. LML values entering accept ratios always
+# stay at HIGHEST.
 GRAD_PRECISION = jax.lax.Precision.HIGH
 
 
@@ -389,14 +395,17 @@ def solve_lower_blocked(L, x, block: int = 128):
     return alpha
 
 
-def kinv_from_linv(Linv, block: int = 128, precision=HI):
+def kinv_from_linv(Linv, block: int = 128, precision=HI,
+                   lower_only: bool = False):
     """K^-1 = Linv^T Linv exploiting Linv's lower-triangular structure.
 
     The dense einsum contracts over all N rows, but Linv[k, c] = 0 for
     k < c, so block (bi, bj) with bj <= bi only needs rows k >= bi: with
     8 blocks of 128 that is ~4x fewer MACs than the dense product
     (measured 4.2 ms -> ~1.3 ms at [64,1024,1024] f32 on v5e). The upper
-    triangle is mirrored from symmetry. Supports a leading batch dim.
+    triangle is mirrored from symmetry — or zero-filled with
+    `lower_only=True` for consumers that read only the lower blocks (the
+    symmetric backward tape kernel). Supports a leading batch dim.
     """
     *batch, N, _ = Linv.shape
     if N % block != 0 or N == block:
@@ -416,7 +425,8 @@ def kinv_from_linv(Linv, block: int = 128, precision=HI):
                 preferred_element_type=Linv.dtype, precision=precision)
             blocks[i][j] = Bij
             if j < i:
-                blocks[j][i] = jnp.swapaxes(Bij, -1, -2)
+                blocks[j][i] = (jnp.zeros_like(Bij) if lower_only
+                                else jnp.swapaxes(Bij, -1, -2))
     out = jnp.concatenate(
         [jnp.concatenate(row, axis=-1) for row in blocks], axis=-2)
     return out.reshape(*batch, N, N)

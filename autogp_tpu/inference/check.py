@@ -120,3 +120,32 @@ def roundtrip_all(key, node_type, params_z, tables,
     at = attach_roundtrip(k3, node_type, params_z, tables, changepoints,
                           biased)
     return jnp.stack([sr, de, at])
+
+
+def trace_structurally_valid(node_type, changepoints: bool = True):
+    """Jit-friendly heap-invariant check for one trace (the in-program
+    Gen.check_observations analog: observations cannot change here by
+    construction, so trace integrity is what `check=true` must guard).
+
+    Valid iff: root slot active with a known code; every non-root slot is
+    active exactly when its parent is an operator; every active slot
+    holds a known code; ChangePoint appears only when permitted and only
+    at the root or directly below another ChangePoint (GP.jl node
+    distribution, src/GP.jl:1099-1138)."""
+    from autogp_tpu import gp_math
+
+    M_ = node_type.shape[0]
+    t = node_type
+    known = gp_math.is_leaf_code(t) | gp_math.is_op_code(t)
+    s = jnp.arange(M_)
+    par = jnp.maximum((s - 1) // 2, 0)
+    parent_is_op = gp_math.is_op_code(t[par])
+    active = t > 0
+    ok = known[0] & active[0]
+    ok &= jnp.all((active[1:] == parent_is_op[1:]) & (known[1:] | ~active[1:]))
+    is_cp = t == C.CHANGEPOINT
+    at_root = s == 0
+    cp_ok = (~is_cp) | ((at_root | (t[par] == C.CHANGEPOINT))
+                        & jnp.asarray(changepoints))
+    ok &= jnp.all(cp_ok)
+    return ok

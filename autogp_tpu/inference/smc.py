@@ -42,6 +42,15 @@ class Particles(NamedTuple):
         return self.node_type.shape[0]
 
 
+# Finite stand-in for the cached LML of a particle whose covariance is so
+# ill-conditioned that the (f32) Cholesky produced a non-finite value. The
+# particle's log_weight is forced to -inf (it contributes nothing to any
+# estimate), while the cached LML stays finite so weight arithmetic in
+# later rounds never produces NaN (inf - inf). An MH move away from the
+# bad structure sees log_alpha = lml_new - BAD_LML = huge and escapes.
+BAD_LML = -1e30
+
+
 class Dataset(NamedTuple):
     ts: jnp.ndarray     # [N] padded time grid
     xs: jnp.ndarray     # [N] padded observations (0 at padding)
@@ -79,32 +88,96 @@ def make_dataset(ts, xs, n: Optional[int] = None, pad_to: Optional[int] = None,
 _init_cache = {}
 
 
+def _mesh_sig(mesh):
+    """Hashable content key for an optional jax.sharding.Mesh."""
+    if mesh is None:
+        return None
+    return (mesh.axis_names, mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def _init_fns(sig, n_particles, cfg, tables, noise_c, dt, mesh):
+    """(generate, regen) jits for `initialize`, content-keyed.
+
+    `generate` draws the full prior batch; `regen` redraws it with keys
+    fold_in(key, retry) and substitutes only the lanes flagged bad —
+    called from the host-level retry loop only when a non-finite LML
+    actually occurred, so the common path compiles one program.
+    """
+    if sig in _init_cache:
+        return _init_cache[sig]
+
+    def gen_batch(keys, ts, xs, mask):
+        def gen_one(k):
+            return M.generate(k, ts, xs, mask, cfg, tables,
+                              noise_z_constraint=noise_c, dtype=dt)
+
+        node_type, params, noise_z, w = jax.vmap(gen_one)(keys)
+        lml = jax.vmap(
+            lambda nt, pz, nz: M.lml(nt, pz, nz, ts, xs, mask, cfg,
+                                     tables))(node_type, params, noise_z)
+        return node_type, params, noise_z, w, lml
+
+    def f(key, ts, xs, mask):
+        return gen_batch(jax.random.split(key, n_particles), ts, xs, mask)
+
+    def regen(key, retry, bad, nt, pz, nz, w, lml, ts, xs, mask):
+        keys = jax.random.split(jax.random.fold_in(key, retry), n_particles)
+        nt2, pz2, nz2, w2, lml2 = gen_batch(keys, ts, xs, mask)
+        sub = lambda a, b: jnp.where(
+            bad.reshape((-1,) + (1,) * (a.ndim - 1)), b, a)
+        return (sub(nt, nt2), sub(pz, pz2), sub(nz, nz2), sub(w, w2),
+                sub(lml, lml2))
+
+    kw = {}
+    if mesh is not None:
+        from autogp_tpu.parallel import mesh as pmesh
+        ps = pmesh.particle_sharding(mesh)
+        kw["out_shardings"] = (ps, ps, ps, ps, ps)
+    _init_cache[sig] = (jax.jit(f, **kw), jax.jit(regen, **kw))
+    return _init_cache[sig]
+
+
 def initialize(key, n_particles: int, data: Dataset, cfg: C.GPConfig,
-               tables: M.PriorTables, dtype=None) -> Particles:
+               tables: M.PriorTables, dtype=None, mesh=None,
+               max_retries: int = 3) -> Particles:
+    """Draw the initial particle batch from the prior.
+
+    With `mesh`, outputs are created directly under the particle-axis
+    sharding (no device-0 staging). Lanes whose LML or generate weight is
+    non-finite (ill-conditioned f32 grams at large N) are redrawn with
+    fresh keys up to `max_retries` times; any still-bad lane gets
+    log_weight=-inf and lml=BAD_LML so downstream arithmetic stays
+    NaN-free (Gen.initialize_particle_filter analog, api.jl:108).
+    """
     dt = dtype or data.ts.dtype
     noise_c = (None if cfg.noise is None
                else M.untransform_param("noise", cfg.noise, cfg))
     # Content-keyed jit: an eager vmap here dispatches every op through
     # the remote relay individually (~100s of round trips per init).
-    sig = (cfg.cache_key, n_particles, jnp.dtype(dt).name, noise_c is None)
-    if sig not in _init_cache:
-        def f(key, ts, xs, mask):
-            keys = jax.random.split(key, n_particles)
-
-            def gen_one(k):
-                return M.generate(k, ts, xs, mask, cfg, tables,
-                                  noise_z_constraint=noise_c, dtype=dt)
-
-            node_type, params, noise_z, w = jax.vmap(gen_one)(keys)
-            lml = jax.vmap(
-                lambda nt, pz, nz: M.lml(nt, pz, nz, ts, xs, mask, cfg,
-                                         tables))(node_type, params,
-                                                  noise_z)
-            return node_type, params, noise_z, w, lml
-
-        _init_cache[sig] = jax.jit(f)
-    node_type, params, noise_z, w, lml = _init_cache[sig](
+    sig = (cfg.cache_key, n_particles, jnp.dtype(dt).name, noise_c is None,
+           _mesh_sig(mesh))
+    gen_fn, regen_fn = _init_fns(sig, n_particles, cfg, tables, noise_c,
+                                 dt, mesh)
+    node_type, params, noise_z, w, lml = gen_fn(
         key, data.ts, data.xs, data.mask)
+
+    def bad_mask(w, lml):
+        return ~(np.isfinite(np.asarray(w)) & np.isfinite(np.asarray(lml)))
+
+    bad = bad_mask(w, lml)
+    retry = 0
+    while bad.any() and retry < max_retries:
+        retry += 1
+        node_type, params, noise_z, w, lml = regen_fn(
+            key, retry, jnp.asarray(bad), node_type, params, noise_z, w,
+            lml, data.ts, data.xs, data.mask)
+        bad = bad_mask(w, lml)
+    if bad.any():
+        badj = jnp.asarray(bad)
+        w = jnp.where(badj, -jnp.inf, w)
+        lml = jnp.where(badj, jnp.asarray(BAD_LML, lml.dtype), lml)
+
     return Particles(
         node_type=node_type, params=params, noise_z=noise_z,
         log_weights=w.astype(dt), lml=lml,
@@ -147,12 +220,19 @@ def effective_sample_size(log_weights):
 # ---------------------------------------------------------------------------
 
 def reweight(particles: Particles, data: Dataset, cfg, tables) -> Particles:
-    """Gen.update with incremental data: weight += LML_new - LML_cached."""
+    """Gen.update with incremental data: weight += LML_new - LML_cached.
+
+    A non-finite incremental LML (f32 Cholesky blow-up) must not poison
+    the ensemble: that lane's weight is clamped to -inf and its cached
+    LML to the finite BAD_LML sentinel instead of propagating NaN."""
     lml_new = _lml_all(particles.node_type, particles.params,
                        particles.noise_z, data, cfg, tables)
+    ok = jnp.isfinite(lml_new)
     return particles._replace(
-        log_weights=particles.log_weights + lml_new - particles.lml,
-        lml=lml_new)
+        log_weights=jnp.where(
+            ok, particles.log_weights + lml_new - particles.lml,
+            -jnp.inf),
+        lml=jnp.where(ok, lml_new, jnp.asarray(BAD_LML, lml_new.dtype)))
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +241,11 @@ def reweight(particles: Particles, data: Dataset, cfg, tables) -> Particles:
 
 def maybe_resample(key, particles: Particles, ess_threshold) -> tuple:
     """Multinomial resampling when ESS < threshold; folds the current
-    weight normalizer into log_ml_est and zeroes the weights."""
+    weight normalizer into log_ml_est and zeroes the weights.
+
+    Gen's ParticleFilterState.parents persists from the LAST resample
+    (consumed by scripts/online.jl:67); on a non-resampling round the
+    field is left untouched, not reset to the identity."""
     P = particles.n_particles
     lw = particles.log_weights
     lnw = log_normalized_weights(lw)
@@ -181,8 +265,14 @@ def maybe_resample(key, particles: Particles, ess_threshold) -> tuple:
         log_ml_est=particles.log_ml_est + jnp.where(
             do,
             jax.scipy.special.logsumexp(lw) - jnp.log(float(P)), 0.0),
-        parents=sel)
+        parents=jnp.where(do, parents, particles.parents))
     return resampled, do
+
+
+# Single jitted entry for host-side callers (api.maybe_resample): one
+# trace per particle-batch shape; ess_threshold is a traced operand so
+# changing it does not recompile.
+maybe_resample_jit = jax.jit(maybe_resample)
 
 
 # ---------------------------------------------------------------------------
@@ -209,10 +299,20 @@ def _hmc_chunk_width(P: int, compact: bool) -> int:
 def rejuvenate_structure(key, particles: Particles, data: Dataset,
                          cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
                          biased: bool, hmc_cfg: hmc_mod.HMCConfig,
-                         infer_noise: bool, hmc_compact: bool = True
-                         ) -> tuple:
+                         infer_noise: bool, hmc_compact: bool = True,
+                         check: bool = False) -> tuple:
     """n_mcmc involutive-MH steps; each particle that accepts a structure
-    move gets an HMC parameter sweep. Whole batch in one scan."""
+    move gets an HMC parameter sweep. Whole batch in one scan.
+
+    With check=True, every MH step additionally runs the involution
+    round-trip checks (inference/check.py) on the post-move state of
+    every particle — the Gen.metropolis_hastings(check=true) analog
+    (inference_smc_anneal_data.jl:90-96), catching mid-round transient
+    trace corruption that a final-state sweep would miss. Returns
+    (particles, n_accepted[P], n_hmc_sweeps[P], check_ok[P,3]); check_ok
+    is all-True when check=False."""
+    from autogp_tpu.inference import check as check_mod
+
     d = (data.ts, data.xs, data.mask)
 
     def mh_all(keys, nt, pz, nz, lml):
@@ -231,10 +331,24 @@ def rejuvenate_structure(key, particles: Particles, data: Dataset,
     P = particles.n_particles
 
     def body(carry, k):
-        nt, pz, nz, lml, n_acc, n_sweeps = carry
+        nt, pz, nz, lml, n_acc, n_sweeps, ok = carry
         k_mh, k_hmc = jax.random.split(k)
         res = mh_all(jax.random.split(k_mh, P), nt, pz, nz, lml)
         nt, pz, lml = res.node_type, res.params, res.lml
+        if check:
+            # fold_in (not a third split) so the MH/HMC key streams are
+            # identical with and without checking.
+            keys_chk = jax.random.split(jax.random.fold_in(k, 0x5eed), P)
+
+            def chk_one(kk, a, b):
+                valid = check_mod.trace_structurally_valid(
+                    a, changepoints=cfg.changepoints)
+                rts = check_mod.roundtrip_all(
+                    kk, a, b, tables, changepoints=cfg.changepoints,
+                    biased=biased)
+                return jnp.concatenate([valid[None], rts])
+
+            ok = ok & jax.vmap(chk_one)(keys_chk, nt, pz)
 
         if n_hmc > 0:
             W = _hmc_chunk_width(P, hmc_compact)
@@ -283,18 +397,45 @@ def rejuvenate_structure(key, particles: Particles, data: Dataset,
                                            skip_hmc, (nt, pz, nz, lml))
             n_sweeps = n_sweeps + sw
         n_acc = n_acc + res.accepted.astype(jnp.int32)
-        return (nt, pz, nz, lml, n_acc, n_sweeps), None
+        return (nt, pz, nz, lml, n_acc, n_sweeps, ok), None
 
+    # [P, 4] columns: (structural validity, subtree-replace, detach,
+    # attach round trips); all-True unless check=True.
+    ok0 = jnp.ones((P, 4), bool)
     init = (particles.node_type, particles.params, particles.noise_z,
             particles.lml, jnp.zeros((P,), jnp.int32),
-            jnp.zeros((P,), jnp.int32))
+            jnp.zeros((P,), jnp.int32), ok0)
     keys = jax.random.split(key, max(n_mcmc, 1))
     if n_mcmc == 0:
         return particles, jnp.zeros((P,), jnp.int32), \
-            jnp.zeros((P,), jnp.int32)
-    (nt, pz, nz, lml, n_acc, n_sweeps), _ = jax.lax.scan(body, init, keys)
+            jnp.zeros((P,), jnp.int32), ok0
+    (nt, pz, nz, lml, n_acc, n_sweeps, ok), _ = jax.lax.scan(body, init,
+                                                             keys)
     return particles._replace(node_type=nt, params=pz, noise_z=nz,
-                              lml=lml), n_acc, n_sweeps
+                              lml=lml), n_acc, n_sweeps, ok
+
+
+_rejuv_cache = {}
+
+
+def rejuvenate_jit(cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
+                   biased: bool, hmc_cfg: hmc_mod.HMCConfig,
+                   infer_noise: bool, hmc_compact: bool = True,
+                   check: bool = False):
+    """Content-keyed jit of rejuvenate_structure (shared by the MCMC API
+    and depth-annealed SMC; a fresh jax.jit(lambda) per call would
+    re-trace and round-trip the remote compile cache every call)."""
+    sig = (cfg.cache_key, n_mcmc, n_hmc, biased, hmc_cfg, infer_noise,
+           hmc_compact, check)
+    if sig not in _rejuv_cache:
+        def f(key, particles, data):
+            return rejuvenate_structure(key, particles, data, cfg, tables,
+                                        n_mcmc, n_hmc, biased, hmc_cfg,
+                                        infer_noise,
+                                        hmc_compact=hmc_compact,
+                                        check=check)
+        _rejuv_cache[sig] = jax.jit(f)
+    return _rejuv_cache[sig]
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +446,8 @@ def smc_round(key, particles: Particles, data: Dataset, cfg: C.GPConfig,
               tables, n_mcmc: int, n_hmc: int, biased: bool,
               hmc_cfg: hmc_mod.HMCConfig, infer_noise: bool,
               allow_resample: bool, ess_threshold: float,
-              adaptive_rejuvenation: bool, hmc_compact: bool = True):
+              adaptive_rejuvenation: bool, hmc_compact: bool = True,
+              check: bool = False):
     """reweight -> maybe_resample -> rejuvenate (run_smc_anneal_data body,
     inference_smc_anneal_data.jl:206-253)."""
     k_res, k_rej = jax.random.split(key)
@@ -321,22 +463,24 @@ def smc_round(key, particles: Particles, data: Dataset, cfg: C.GPConfig,
             return rejuvenate_structure(k_rej, p, data, cfg, tables,
                                         n_mcmc, n_hmc, biased, hmc_cfg,
                                         infer_noise,
-                                        hmc_compact=hmc_compact)
+                                        hmc_compact=hmc_compact,
+                                        check=check)
 
         def norej(p):
             zero = jnp.zeros((p.n_particles,), jnp.int32)
-            return p, zero, zero
+            return p, zero, zero, jnp.ones((p.n_particles, 4), bool)
 
-        particles, n_acc, n_sweeps = jax.lax.cond(resampled, rej, norej,
-                                                  particles)
+        particles, n_acc, n_sweeps, check_ok = jax.lax.cond(
+            resampled, rej, norej, particles)
         rejuvenated = resampled
     else:
-        particles, n_acc, n_sweeps = rejuvenate_structure(
+        particles, n_acc, n_sweeps, check_ok = rejuvenate_structure(
             k_rej, particles, data, cfg, tables, n_mcmc, n_hmc, biased,
-            hmc_cfg, infer_noise, hmc_compact=hmc_compact)
+            hmc_cfg, infer_noise, hmc_compact=hmc_compact, check=check)
         rejuvenated = jnp.asarray(True)
     return particles, {"resampled": resampled, "rejuvenated": rejuvenated,
-                       "mh_accepted": n_acc, "hmc_sweeps": n_sweeps}
+                       "mh_accepted": n_acc, "hmc_sweeps": n_sweeps,
+                       "check_ok": check_ok}
 
 
 _round_cache = {}
@@ -346,17 +490,33 @@ def smc_round_jit(cfg: C.GPConfig, tables, n_mcmc: int, n_hmc: int,
                   biased: bool, hmc_cfg: hmc_mod.HMCConfig,
                   infer_noise: bool, allow_resample: bool,
                   ess_threshold: float, adaptive_rejuvenation: bool,
-                  hmc_compact: bool = True):
+                  hmc_compact: bool = True, check: bool = False,
+                  mesh=None):
+    """One content-keyed jitted SMC round. With `mesh`, the output
+    particle pytree is pinned to the particle-axis sharding so the
+    placement cannot drift across annealing rounds (resampling's gather
+    otherwise leaves the output sharding to XLA's discretion)."""
     sig = (cfg.cache_key, n_mcmc, n_hmc, biased, hmc_cfg, infer_noise,
            allow_resample, ess_threshold, adaptive_rejuvenation,
-           hmc_compact)
+           hmc_compact, check, _mesh_sig(mesh))
     if sig not in _round_cache:
         def f(key, particles, data):
             return smc_round(key, particles, data, cfg, tables, n_mcmc,
                              n_hmc, biased, hmc_cfg, infer_noise,
                              allow_resample, ess_threshold,
-                             adaptive_rejuvenation, hmc_compact)
-        _round_cache[sig] = jax.jit(f)
+                             adaptive_rejuvenation, hmc_compact, check)
+        kw = {}
+        if mesh is not None:
+            from autogp_tpu.parallel import mesh as pmesh
+            ps = pmesh.particle_sharding(mesh)
+            rep = pmesh.replicated_sharding(mesh)
+            kw["out_shardings"] = (
+                Particles(node_type=ps, params=ps, noise_z=ps,
+                          log_weights=ps, lml=ps, log_ml_est=rep,
+                          parents=ps),
+                {"resampled": rep, "rejuvenated": rep, "mh_accepted": ps,
+                 "hmc_sweeps": ps, "check_ok": ps})
+        _round_cache[sig] = jax.jit(f, **kw)
     return _round_cache[sig]
 
 
@@ -377,8 +537,10 @@ def validate_particles(particles: Particles, cfg: C.GPConfig,
     move restores the trace exactly."""
     nts = np.asarray(particles.node_type)
     M_ = nts.shape[1]
-    assert np.isfinite(np.asarray(particles.log_weights)).all(), \
-        "non-finite log weights"
+    # -inf weights are legal (NaN-clamped dead lanes, see BAD_LML); NaN
+    # is not.
+    assert not np.isnan(np.asarray(particles.log_weights)).any(), \
+        "NaN log weights"
     assert np.isfinite(np.asarray(particles.lml)).all(), "non-finite LML"
     assert (nts[:, 0] > 0).all(), "inactive root slot"
     for s in range(1, M_):
@@ -433,8 +595,17 @@ def run_smc_anneal_data(
         check: bool = False,
         callback_fn: Optional[Callable] = None,
         dtype=None,
-        hmc_compact: bool = True) -> Particles:
-    """Anneal over data prefixes ts[perm][:step] for step in schedule."""
+        hmc_compact: bool = True,
+        mesh=None) -> Particles:
+    """Anneal over data prefixes ts[perm][:step] for step in schedule.
+
+    With `mesh` (a 1-D jax.sharding.Mesh over the particle axis), the
+    particle batch lives sharded across the mesh for the whole run:
+    initialization draws directly onto the shards, every round is
+    compiled with the output pinned to the same sharding, and datasets
+    are replicated. Results are identical to the unsharded program (the
+    reference's parallelism contract: particles run in parallel and the
+    user never sees it, api.jl:95)."""
     import time as _time
     n = len(ts)
     ts = np.asarray(ts, np.float64)
@@ -463,7 +634,10 @@ def run_smc_anneal_data(
     key, k_init = jax.random.split(key)
     data0 = make_dataset(ts, xs, n=0, pad_to=bucket_size(1), dtype=dtype)
     particles = initialize(k_init, n_particles, data0, cfg, tables,
-                           dtype=dtype)
+                           dtype=dtype, mesh=mesh)
+    if mesh is not None:
+        from autogp_tpu.parallel import mesh as pmesh
+        particles = pmesh.shard_particles(particles, mesh)
     jax.block_until_ready(particles)
     elapsed += _time.time() - t0
 
@@ -483,13 +657,17 @@ def run_smc_anneal_data(
         # programs compile across the whole schedule.
         data = make_dataset(ts, xs, n=step, pad_to=bucket_size(step),
                             dtype=dtype)
+        if mesh is not None:
+            from autogp_tpu.parallel import mesh as pmesh
+            data = pmesh.replicate_dataset(data, mesh)
         allow_resample = step < schedule[-1]
         ess_threshold = (n_particles / 2 if adaptive_resampling
                          else float(n_particles))
         fn = smc_round_jit(cfg, tables, int(n_mcmc[i]), int(n_hmc[i]),
                            biased, hmc_cfg, infer_noise, allow_resample,
                            ess_threshold, adaptive_rejuvenation,
-                           hmc_compact=hmc_compact)
+                           hmc_compact=hmc_compact, check=check,
+                           mesh=mesh)
         key, k_round = jax.random.split(key)
         particles, stats = fn(k_round, particles, data)
         jax.block_until_ready(particles)
@@ -505,6 +683,14 @@ def run_smc_anneal_data(
             print(f"accepted MCMC[{acc.sum()}/{n_particles * n_mcmc[i]}] "
                   f"per-particle {acc.tolist()}")
         if check:
+            # Per-move round trips ran inside the jitted round
+            # (Gen.metropolis_hastings(check=true)); surface failures
+            # here, then run the per-round structural sweep.
+            ok = np.asarray(stats["check_ok"])
+            assert ok[:, 0].all(), "per-move structural trace validity"
+            assert ok[:, 1].all(), "per-move subtree-replace round trip"
+            assert ok[:, 2].all(), "per-move detach round trip"
+            assert ok[:, 3].all(), "per-move attach round trip"
             key, k_check = jax.random.split(key)
             validate_particles(particles, cfg, tables=tables, key=k_check)
         if callback_fn is not None:

@@ -94,6 +94,31 @@ def attach_extend_step(key, node_type, params_z, noise_z, data,
     return nt_new, pz_new, lml_new, w
 
 
+_extend_cache = {}
+
+
+def _extend_all_jit(cfg_new: C.GPConfig, tables_new, depth_old: int,
+                    biased: bool):
+    """Content-keyed jit of the batched depth-extension (a fresh
+    jax.jit per depth step would re-trace and round-trip the remote
+    compile cache every call; data is an operand, not a constant)."""
+    sig = (cfg_new.cache_key, depth_old, biased)
+    if sig not in _extend_cache:
+        def f(k, parts, data):
+            P = parts.node_type.shape[0]
+            keys = jax.random.split(k, P)
+            d = (data.ts, data.xs, data.mask)
+            nt, pz, lml, w = jax.vmap(
+                lambda kk, a, b, c: attach_extend_step(
+                    kk, a, b, c, d, cfg_new, tables_new, depth_old,
+                    biased=biased))(keys, parts.node_type, parts.params,
+                                    parts.noise_z)
+            return parts._replace(node_type=nt, params=pz, lml=lml,
+                                  log_weights=parts.log_weights + w)
+        _extend_cache[sig] = jax.jit(f)
+    return _extend_cache[sig]
+
+
 def run_smc_anneal_depth(
         key,
         ts: np.ndarray,
@@ -138,20 +163,8 @@ def run_smc_anneal_depth(
             depth_old = cfg.max_depth
             particles = embed_particles(particles, cfg_new.max_nodes)
             key, k_ext = jax.random.split(key)
-
-            @jax.jit
-            def extend_all(k, parts):
-                keys = jax.random.split(k, n_particles)
-                d = (data.ts, data.xs, data.mask)
-                nt, pz, lml, w = jax.vmap(
-                    lambda kk, a, b, c: attach_extend_step(
-                        kk, a, b, c, d, cfg_new, tables_new, depth_old,
-                        biased=biased))(keys, parts.node_type,
-                                        parts.params, parts.noise_z)
-                return parts._replace(node_type=nt, params=pz, lml=lml,
-                                      log_weights=parts.log_weights + w)
-
-            particles = extend_all(k_ext, particles)
+            particles = _extend_all_jit(cfg_new, tables_new, depth_old,
+                                        biased)(k_ext, particles, data)
 
         # Resample (skipped at the last step).
         resampled = jnp.asarray(False)
@@ -159,16 +172,16 @@ def run_smc_anneal_depth(
             threshold = (n_particles / 2 if adaptive_resampling
                          else float(n_particles))
             key, k_res = jax.random.split(key)
-            particles, resampled = smc.maybe_resample(k_res, particles,
-                                                      threshold)
+            particles, resampled = smc.maybe_resample_jit(
+                k_res, particles,
+                jnp.asarray(threshold, particles.params.dtype))
 
         # Rejuvenate under the current config.
         if not adaptive_rejuvenation or bool(resampled):
             key, k_rej = jax.random.split(key)
-            particles, _, _ = jax.jit(
-                lambda k, p: smc.rejuvenate_structure(
-                    k, p, data, cfg_new, tables_new, n_mcmc, n_hmc, biased,
-                    hmc_cfg, infer_noise))(k_rej, particles)
+            particles, _, _, _ = smc.rejuvenate_jit(
+                cfg_new, tables_new, n_mcmc, n_hmc, biased, hmc_cfg,
+                infer_noise)(k_rej, particles, data)
 
         cfg, tables = cfg_new, tables_new
         if callback_fn is not None:

@@ -309,8 +309,11 @@ def assemble_K0(node_type, params_z, ts, mask, config: C.GPConfig,
     zero = jnp.asarray(0.0, params_z.dtype)
     if pallas:
         from autogp_tpu.ops import cov_pallas
+        # lower_only: K0 feeds only the lower-reading Cholesky in
+        # lml_value_and_noise_grad_from_K0.
         return cov_pallas.cov_matrix_tape(node_type, params_t, zero, ts,
-                                          mask, tables.depth_cap)
+                                          mask, tables.depth_cap,
+                                          lower_only=True)
     K = gp_math.eval_cov(node_type, params_t, ts, ts, tables.depth_cap)
     K = 0.5 * (K + K.T)
     return gp_math.masked_gram(K, mask)
@@ -373,7 +376,8 @@ def lml_value_and_noise_grad(node_type, params_z, noise_z, ts, xs, mask,
     if pallas:
         from autogp_tpu.ops import cov_pallas
         K = cov_pallas.cov_matrix_tape(node_type, params_t, noise, ts,
-                                       mask, tables.depth_cap)
+                                       mask, tables.depth_cap,
+                                       lower_only=True)
         Km = K  # masked assembly already produces the padded-identity gram
     else:
         K = gp_math.eval_cov(node_type, params_t, ts, ts, tables.depth_cap)

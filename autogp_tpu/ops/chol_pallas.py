@@ -247,12 +247,23 @@ def supported(N: int, dtype) -> bool:
     return N % BLOCK == 0 and dtype == jnp.float32
 
 
+def _chol_lower(K):
+    """XLA Cholesky reading ONLY the lower triangle (symmetrize_input off).
+
+    Bit-identical to jnp.linalg.cholesky for exactly-symmetric inputs
+    ((x + x)/2 == x in IEEE), and REQUIRED for the lower_only assembly
+    path (cov_pallas.cov_matrix_tape(lower_only=True) zero-fills the
+    upper triangle; symmetrizing would halve the off-diagonals)."""
+    return jax.lax.linalg.cholesky(K, symmetrize_input=False)
+
+
 @jax.custom_batching.custom_vmap
 def chol_psd(K):
     """Per-particle entry: plain XLA Cholesky when unbatched, the batched
     Pallas factorization under vmap (where the particle batch is visible
-    as one array). Callers guard shape/dtype via `supported`."""
-    return jnp.linalg.cholesky(K)
+    as one array). Callers guard shape/dtype via `supported`. All paths
+    read only the lower triangle."""
+    return _chol_lower(K)
 
 
 @chol_psd.def_vmap
@@ -260,15 +271,15 @@ def _chol_psd_vmap(axis_size, in_batched, K):
     from autogp_tpu import backend
     (k_batched,) = in_batched
     if not k_batched:
-        return jnp.linalg.cholesky(K), False
+        return _chol_lower(K), False
     if K.ndim == 3 and supported(K.shape[-1], K.dtype) \
             and backend.use_pallas():
         return cholesky_batched(K), True
-    return jnp.linalg.cholesky(K), True
+    return _chol_lower(K), True
 
 
 def _chol_solve_plain(K, x):
-    L = jnp.linalg.cholesky(K)
+    L = _chol_lower(K)
     return L, jax.scipy.linalg.solve_triangular(L, x, lower=True)
 
 
@@ -291,7 +302,7 @@ def _chol_solve_psd_vmap(axis_size, in_batched, K, x):
     if K.ndim == 3 and supported(K.shape[-1], K.dtype) \
             and backend.use_pallas():
         return cholesky_solve_batched(K, x), (True, True)
-    L = jnp.linalg.cholesky(K)
+    L = _chol_lower(K)
     alpha = jax.vmap(lambda l, v: jax.scipy.linalg.solve_triangular(
         l, v, lower=True))(L, x)
     return (L, alpha), (True, True)

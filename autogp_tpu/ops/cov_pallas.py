@@ -252,32 +252,57 @@ def _tree_eval_tape(tslot_ref, ttype_ref, tlen_ref, par_ref, t1, t2,
 def _cov_kernel_tape_1p(tslot_ref, ttype_ref, tlen_ref, par_ref, noise_ref,
                         tsc_ref, tsr_ref, mkc_ref, mkr_ref, out_ref,
                         stack_ref, *, tile_i: int, tile_j: int,
-                        masked: bool, single_j: bool):
-    """Tape-driven single-particle assembly (grid (I, J); vmap batches)."""
+                        masked: bool, single_j: bool,
+                        lower_only: bool = False):
+    """Tape-driven single-particle assembly (grid (I, J); vmap batches).
+
+    `lower_only`: tiles entirely above the diagonal skip the tree
+    evaluation and emit zeros — legal whenever the consumer reads only
+    the lower triangle (the blocked Cholesky does, chol_pallas.py:19).
+    Saves the VPU transcendental work of ~N(N-tile)/2 elements (the
+    assembly kernel is compute-bound, not write-bound)."""
     jo = pl.program_id(1) * tile_j
-    t1 = tsc_ref[:, 0:1]
-    t2 = row_slice(tsr_ref, jo, tile_j, single_j)
-    _tree_eval_tape(tslot_ref, ttype_ref, tlen_ref, par_ref, t1, t2,
-                    stack_ref)
-    K = stack_ref[0]
     i = pl.program_id(0)
     j = pl.program_id(1)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
-           + i * tile_i)
-    col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
-           + j * tile_j)
-    diag = (row == col).astype(K.dtype)
-    K = K + noise_ref[0, 0] * diag
-    if masked:
-        m2 = mkc_ref[:, 0:1] * row_slice(mkr_ref, jo, tile_j, single_j)
-        K = jnp.where(m2 > 0, K, diag)
-    out_ref[:, :] = K
+
+    def body():
+        t1 = tsc_ref[:, 0:1]
+        t2 = row_slice(tsr_ref, jo, tile_j, single_j)
+        _tree_eval_tape(tslot_ref, ttype_ref, tlen_ref, par_ref, t1, t2,
+                        stack_ref)
+        K = stack_ref[0]
+        row = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+               + i * tile_i)
+        col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+               + j * tile_j)
+        diag = (row == col).astype(K.dtype)
+        K = K + noise_ref[0, 0] * diag
+        if masked:
+            m2 = mkc_ref[:, 0:1] * row_slice(mkr_ref, jo, tile_j, single_j)
+            K = jnp.where(m2 > 0, K, diag)
+        out_ref[:, :] = K
+
+    if not lower_only:
+        body()
+    else:
+        fully_upper = jo >= (i + 1) * tile_i
+
+        @pl.when(fully_upper)
+        def _():
+            out_ref[:, :] = jnp.zeros((tile_i, tile_j), out_ref.dtype)
+
+        @pl.when(jnp.logical_not(fully_upper))
+        def _():
+            body()
 
 
 def cov_matrix_tape(node_type, params_t, noise, ts, mask, depth_cap: int,
                     masked: bool = True, tile: int = None,
-                    interpret: bool = False):
-    """Single-particle fused assembly via the compacted instruction tape."""
+                    interpret: bool = False, lower_only: bool = False):
+    """Single-particle fused assembly via the compacted instruction tape.
+
+    `lower_only=True` emits zeros above the diagonal (callers that feed
+    the result ONLY to the lower-reading blocked Cholesky)."""
     M = node_type.shape[0]
     N = ts.shape[0]
     if tile is not None:
@@ -287,7 +312,8 @@ def cov_matrix_tape(node_type, params_t, noise, ts, mask, depth_cap: int,
     dt = params_t.dtype
     tslot, ttype, _, _, tlen = build_tape(node_type, depth_cap)
     kernel = functools.partial(_cov_kernel_tape_1p, tile_i=ti, tile_j=tj,
-                               masked=masked, single_j=(N == tj))
+                               masked=masked, single_j=(N == tj),
+                               lower_only=lower_only)
     return pl.pallas_call(
         kernel,
         grid=(N // ti, N // tj),

@@ -269,7 +269,16 @@ def _acc_dyn(acc_ref, idx, value):
 def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
                      par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref, kbar_ref,
                      *rest, tile_i: int, tile_j: int, masked: bool,
-                     n_acc: int, single_j: bool, fused: bool = False):
+                     n_acc: int, single_j: bool, fused: bool = False,
+                     sym: bool = False):
+    """`sym=True` (requires a symmetric cotangent, as in lml_tape_fused's
+    0.5*g*(beta beta^T - K^-1)): every dK_ij/dtheta is symmetric in
+    (i, j) — all leaf formulas are functions of (t1*t2, |t1-t2|) and the
+    operators preserve the symmetry (GP.jl:135-517) — so the full-matrix
+    gradient sum equals the lower-triangle sum with off-diagonal terms
+    doubled. Tiles entirely above the diagonal skip both sweeps
+    (~37% of tiles at 128x256/N=1024); diagonal-crossing tiles apply the
+    elementwise weight 2*(row>col) + (row==col)."""
     if fused:
         # kbar_ref actually holds K^-1; the cotangent tile
         # Kbar = 0.5*g*(beta beta^T - K^-1) is formed in VMEM here — the
@@ -346,32 +355,41 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, A, fbody, 0)
-
-    kbar = kbar_ref[:, :]
-    if fused:
-        b1 = bc_ref[:, 0:1]
-        b2 = cov_pallas.row_slice(br_ref, j_off, tile_j, single_j)
-        kbar = (0.5 * g_ref[0, 0]) * (b1 * b2 - kbar)
-    if masked:
-        m2 = mkc_ref[:, 0:1] * cov_pallas.row_slice(mkr_ref, j_off, tile_j, single_j)
-        kbar = kbar * m2
-
     i_t = pl.program_id(0)
     j_t = pl.program_id(1)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
-           + i_t * tile_i)
-    col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
-           + j_t * tile_j)
-    diag = (row == col).astype(kbar.dtype)
 
     @pl.when((i_t == 0) & (j_t == 0))
     def _():
-        acc_ref[:, :] = jnp.zeros(acc_ref.shape, kbar.dtype)
+        acc_ref[:, :] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    _acc(acc_ref, n_acc - 1, kbar * diag)
+    def work():
+        jax.lax.fori_loop(0, A, fbody, 0)
 
-    adj_ref[A - 1] = kbar
+        kbar = kbar_ref[:, :]
+        if fused:
+            b1 = bc_ref[:, 0:1]
+            b2 = cov_pallas.row_slice(br_ref, j_off, tile_j, single_j)
+            kbar = (0.5 * g_ref[0, 0]) * (b1 * b2 - kbar)
+        if masked:
+            m2 = mkc_ref[:, 0:1] * cov_pallas.row_slice(mkr_ref, j_off,
+                                                        tile_j, single_j)
+            kbar = kbar * m2
+
+        row = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 0)
+               + i_t * tile_i)
+        col = (jax.lax.broadcasted_iota(jnp.int32, (tile_i, tile_j), 1)
+               + j_t * tile_j)
+        diag = (row == col).astype(kbar.dtype)
+        if sym:
+            # lower-triangle sweep: double strictly-lower terms (their
+            # mirror tile is skipped), keep the diagonal at weight 1.
+            kbar = kbar * (2.0 - (row <= col).astype(kbar.dtype)
+                           - (row < col).astype(kbar.dtype))
+
+        _acc(acc_ref, n_acc - 1, kbar * diag)
+
+        adj_ref[A - 1] = kbar
+        jax.lax.fori_loop(0, A, bbody, 0)
 
     # --- reverse sweep: adjoints + gradient accumulation ---------------------
     def bbody(k, _):
@@ -473,7 +491,14 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, A, bbody, 0)
+    if sym:
+        # Tiles entirely above the diagonal contribute nothing: skip both
+        # sweeps (the mirror tile below carries their weight).
+        @pl.when(j_off < (i_t + 1) * tile_i)
+        def _():
+            work()
+    else:
+        work()
 
     @pl.when((i_t == pl.num_programs(0) - 1)
              & (j_t == pl.num_programs(1) - 1))
@@ -484,12 +509,17 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
 
 def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                     masked: bool, tile: int = None, tile_i: int = None,
-                    interpret: bool = False, beta=None, gscale=None):
+                    interpret: bool = False, beta=None, gscale=None,
+                    sym: bool = False):
     """Tape-driven gradient launch; returns (params_bar [M,3], noise_bar).
 
     With `beta`/`gscale` given, `kbar` must be K^-1 and the cotangent
     Kbar = 0.5*gscale*(beta beta^T - K^-1) is formed tile-by-tile inside
     the kernel (lml_tape_fused's backward) instead of being materialized.
+    `sym=True` additionally restricts the sweep to the lower triangle
+    with doubled off-diagonal weights (requires a symmetric cotangent;
+    see _bwd_kernel_tape) — with lower_only K^-1 the upper-triangle
+    blocks are then never read.
 
     Default tiles 128x256 measured best at N=1024/P=64/M=31 on v5e
     (4.66 ms vs 6.19 for 64x256, 6.41 for 128x128, 6.17 for 32x512):
@@ -512,7 +542,7 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
     fused = beta is not None
     kernel = functools.partial(_bwd_kernel_tape, tile_i=tile_i,
                                tile_j=tile, masked=masked, n_acc=n_acc,
-                               single_j=(N == tile), fused=fused)
+                               single_j=(N == tile), fused=fused, sym=sym)
     smem_i = lambda: pl.BlockSpec((1, M), lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM)
     in_specs = [
@@ -529,8 +559,16 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, N), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_i, tile), lambda i, j: (i, j),
-                     memory_space=pltpu.VMEM),
+        # For sym sweeps, clamp the kbar (K^-1) block index of skipped
+        # fully-upper tiles to the row's last valid j: the block index is
+        # then unchanged from the previous grid step, so Mosaic skips the
+        # re-fetch instead of streaming blocks that are never read.
+        pl.BlockSpec(
+            (tile_i, tile),
+            (lambda i, j: (i, jnp.minimum(
+                j, (i * tile_i + tile_i - 1) // tile)))
+            if sym else (lambda i, j: (i, j)),
+            memory_space=pltpu.VMEM),
     ]
     inputs = [tslot.reshape(1, M), ttype.reshape(1, M), tlpos.reshape(1, M),
               trpos.reshape(1, M), tlen.astype(jnp.int32).reshape(1, 1),
@@ -682,8 +720,12 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
 
     @jax.custom_vjp
     def f(par, nz):
+        # lower_only: K feeds only the lower-reading blocked Cholesky —
+        # the assembly kernel skips the tree evaluation of every tile
+        # above the diagonal.
         K = cov_pallas.cov_matrix_tape(node_type, par, nz, ts, mask,
-                                       depth_cap, interpret=interpret)
+                                       depth_cap, interpret=interpret,
+                                       lower_only=True)
         return gp_math.mvn_logpdf_masked_cvjp(K, xs, mask, True)
 
     def fwd(par, nz):
@@ -692,7 +734,8 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
         # it is gradient-only and runs at GRAD_PRECISION.
         from autogp_tpu.ops import chol_pallas
         K = cov_pallas.cov_matrix_tape(node_type, par, nz, ts, mask,
-                                       depth_cap, interpret=interpret)
+                                       depth_cap, interpret=interpret,
+                                       lower_only=True)
         L, alpha = chol_pallas.chol_solve_psd(K, xs * mask)
         n = jnp.sum(mask)
         logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
@@ -705,12 +748,14 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
                                        precision=gp_math.GRAD_PRECISION)
         beta = jnp.matmul(Linv.T, alpha,
                           precision=gp_math.GRAD_PRECISION)
+        # The symmetric backward sweep reads only lower K^-1 blocks.
         Kinv = gp_math.kinv_from_linv(Linv,
-                                      precision=gp_math.GRAD_PRECISION)
+                                      precision=gp_math.GRAD_PRECISION,
+                                      lower_only=True)
         pbar, nbar = _cov_grads_tape(node_type, par, Kinv, ts, mask,
                                      depth_cap, masked=True,
                                      interpret=interpret, beta=beta,
-                                     gscale=g)
+                                     gscale=g, sym=True)
         return pbar, nbar
 
     f.defvjp(fwd, bwd)

@@ -34,7 +34,12 @@ def main():
     A64 = np.linalg.cholesky(K64)
     A = jnp.asarray(np.broadcast_to(A64, (P, N, N)), jnp.float32)
 
-    ref = A64 @ A64.T  # f64 reference product
+    # Reference from the f32-CAST inputs promoted back to f64, so the
+    # measurement isolates CONTRACTION error (an f64-input reference
+    # would fold the ~1e-7 input-cast floor into all three readings and
+    # mask HIGHEST's true error; ADVICE r2).
+    A32p = np.float64(np.float32(A64))
+    ref = A32p @ A32p.T
 
     for prec in ["default", "high", "highest"]:
         pm = {"default": jax.lax.Precision.DEFAULT,
@@ -53,6 +58,39 @@ def main():
         flops = 2 * P * N * N * N / t
         print(f"{prec:8s}: {t*1e3:7.2f} ms  {flops/1e12:6.1f} TF/s  "
               f"max rel err {rel:.2e}")
+
+    bwd_chain_case()
+
+
+def bwd_chain_case():
+    """The error GRAD_PRECISION actually governs: the full backward chain
+    tri_inv_blocked -> K^-1 on an ILL-CONDITIONED GP gram (error
+    compounds through ~log2(N/16) combine levels and scales with
+    cond(K); a single well-conditioned matmul understates it, ADVICE
+    r2). Prints the realized K^-1 error at HIGH vs HIGHEST against an
+    f64 CPU reference from the same f32-cast gram."""
+    from autogp_tpu import gp_math as V
+
+    N = 1024
+    ts = np.linspace(0, 1, N)
+    # Small-noise SE gram: cond ~ 1e6 (the hard end of HMC's range).
+    K64 = np.exp(-0.5 * ((ts[:, None] - ts[None, :]) / 0.25) ** 2) \
+        + 1e-4 * np.eye(N)
+    K32p = np.float64(np.float32(K64))
+    print(f"bwd-chain gram: N={N} cond~{np.linalg.cond(K32p):.1e}")
+    L64 = np.linalg.cholesky(K32p)
+    Kinv64 = np.linalg.inv(K32p)
+    L = jnp.asarray(np.float32(L64))[None]
+
+    for name, pm in [("high", jax.lax.Precision.HIGH),
+                     ("highest", jax.lax.Precision.HIGHEST)]:
+        def chain(L):
+            Linv = V.tri_inv_blocked(L, precision=pm)
+            return V.kinv_from_linv(Linv, precision=pm)
+
+        out = np.asarray(jax.jit(chain)(L)[0], np.float64)
+        rel = np.abs(out - Kinv64).max() / np.abs(Kinv64).max()
+        print(f"  tri_inv+kinv @ {name:8s}: max rel err {rel:.2e}")
 
 
 if __name__ == "__main__":

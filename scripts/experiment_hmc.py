@@ -35,12 +35,18 @@ BENCHMARKS = {
 
 
 def main():
-    bench = int(os.environ.get("BENCHMARK", 2))
-    n = int(os.environ.get("N", 1000))
-    n_obs = int(os.environ.get("N_OBS", 200))
-    n_steps = int(os.environ.get("N_STEPS", 100))
-    seed = int(os.environ.get("SEED", 0))
+    return run(bench=int(os.environ.get("BENCHMARK", 2)),
+               n=int(os.environ.get("N", 1000)),
+               n_obs=int(os.environ.get("N_OBS", 200)),
+               n_steps=int(os.environ.get("N_STEPS", 100)),
+               seed=int(os.environ.get("SEED", 0)),
+               eps=float(os.environ.get("EPS", 0.1)))
 
+
+def run(bench=2, n=1000, n_obs=200, n_steps=100, seed=0, eps=0.1,
+        verbose=True):
+    """Run the experiment; returns a metrics dict (CI-asserted in fast
+    mode by tests/test_experiment_hmc.py)."""
     cfg = GPConfig(changepoints=True, max_depth=4)
     tables = model.prior_tables(cfg)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -48,7 +54,8 @@ def main():
 
     node_true, noise_true = BENCHMARKS[bench]
     nz_true = float(model.untransform_param("noise", noise_true, cfg))
-    print(f"True structure: {GP.pretty(node_true)} noise={noise_true}")
+    if verbose:
+        print(f"True structure: {GP.pretty(node_true)} noise={noise_true}")
 
     # Simulate ground truth on an n-point grid; observe a prefix.
     ts = np.linspace(0, 10, n)
@@ -89,8 +96,9 @@ def main():
                       tables, pallas=False)
     lp_bayes = float(w_joint - w_obs)
     lp_ll = float(lp_test(pz_j, nz_j))
-    print(f"predictive logp: conditional={lp_ll:.6f} bayes={lp_bayes:.6f} "
-          f"diff={abs(lp_ll - lp_bayes):.2e}")
+    if verbose:
+        print(f"predictive logp: conditional={lp_ll:.6f} bayes={lp_bayes:.6f} "
+              f"diff={abs(lp_ll - lp_bayes):.2e}")
     # f64: near-exact identity. f32: each of the n_test log-terms carries
     # ~1e-4 roundoff, so the identity holds to ~3e-4 * n_test.
     tol = (max(1e-6 * abs(lp_bayes), 1e-3) if dtype == jnp.float64
@@ -106,7 +114,6 @@ def main():
     nz0 = jnp.asarray(rng.standard_normal(), dtype)
 
     # Gen.hmc defaults (eps=0.1, L=10) as used by experiment_hmc.jl:237.
-    eps = float(os.environ.get("EPS", 0.1))
     hc = hmc_mod.HMCConfig(L_param=10, eps_param=eps, L_noise=10,
                            eps_noise=eps, n_exit=10 ** 9)
 
@@ -118,8 +125,10 @@ def main():
 
     lml0 = model.lml(nt, pz0, nz0, data.ts, data.xs, data.mask, cfg,
                      tables)
-    print(f"init: score={float(lml0):.3f} lp_test={float(lp_test(pz0, nz0)):.3f} "
-          f"(true lp_test={lp_ll:.3f})")
+    lp_init = float(lp_test(pz0, nz0))
+    if verbose:
+        print(f"init: score={float(lml0):.3f} lp_test={lp_init:.3f} "
+              f"(true lp_test={lp_ll:.3f})")
 
     key = jax.random.PRNGKey(seed)
     pz, nz, lml = pz0, nz0, lml0
@@ -132,17 +141,23 @@ def main():
         jax.block_until_ready(lml)
         t_total += time.time() - t0
         acc_total += int(n_acc)
-        if i % max(1, n_steps // 10) == 0:
+        if verbose and i % max(1, n_steps // 10) == 0:
             print(f"step {i:4d} acc={acc_total}/{i} "
                   f"lml={float(lml):10.3f} "
                   f"lp_test={float(lp_test(pz, nz)):10.3f}")
 
-    print(f"Completed {n_steps} HMC steps in {t_total:.2f}s "
-          f"(avg {t_total / n_steps * 1000:.1f} ms/step)")
-    print("inferred kernel:",
-          tree.tensor_to_node(np.asarray(nt), np.asarray(pz), cfg))
-    print("inferred noise:",
-          float(model.transform_noise(float(nz), cfg)))
+    lp_final = float(lp_test(pz, nz))
+    if verbose:
+        print(f"Completed {n_steps} HMC steps in {t_total:.2f}s "
+              f"(avg {t_total / n_steps * 1000:.1f} ms/step)")
+        print("inferred kernel:",
+              tree.tensor_to_node(np.asarray(nt), np.asarray(pz), cfg))
+        print("inferred noise:",
+              float(model.transform_noise(float(nz), cfg)))
+    return {"lp_bayes": lp_bayes, "lp_true": lp_ll, "lp_init": lp_init,
+            "lp_final": lp_final, "lml_init": float(lml0),
+            "lml_final": float(lml), "acc_rate": acc_total / n_steps,
+            "ms_per_step": t_total / n_steps * 1000}
 
 
 if __name__ == "__main__":

@@ -203,12 +203,16 @@ def test_resampling_semantics():
                                rtol=1e-12)
     # Dominant particle should be cloned into nearly all slots.
     assert (np.asarray(new.parents) == 0).mean() > 0.8
-    # High ESS -> no resample.
-    parts2 = parts._replace(log_weights=jnp.zeros(8, jnp.float64))
+    # High ESS -> no resample; `parents` persists from the LAST resample
+    # (Gen semantics, consumed by scripts/online.jl:67) rather than being
+    # reset to the identity.
+    old_parents = jnp.asarray([3, 3, 1, 0, 7, 7, 7, 2], jnp.int32)
+    parts2 = parts._replace(log_weights=jnp.zeros(8, jnp.float64),
+                            parents=old_parents)
     new2, did2 = smc.maybe_resample(key, parts2, ess_threshold=4.0)
     assert not bool(did2)
     np.testing.assert_array_equal(np.asarray(new2.parents),
-                                  np.arange(8))
+                                  np.asarray(old_parents))
 
 
 def test_smc_end_to_end_smoke():
@@ -278,7 +282,7 @@ def test_hmc_compaction_matches_uncompacted(P, W):
     hc = hmc_mod.HMCConfig(L_param=3, L_noise=3, n_exit=1)
     out = {}
     for compact in (False, True):
-        p2, n_acc, n_sw = smc.rejuvenate_structure(
+        p2, n_acc, n_sw, _ok = smc.rejuvenate_structure(
             key, parts, data, CFG, TABLES, n_mcmc=3, n_hmc=2,
             biased=False, hmc_cfg=hc, infer_noise=True,
             hmc_compact=compact)
@@ -291,3 +295,49 @@ def test_hmc_compaction_matches_uncompacted(P, W):
         np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
                                    rtol=0, atol=0)
     assert a[2].sum() > 0  # some HMC actually ran
+
+
+def test_smc_anneal_depth_prior_oracle():
+    """Enumerable oracle for the depth-extension weight
+    (smc_depth.attach_extend_step, reference
+    inference_smc_anneal_depth.jl:17-91): with EMPTY data the target at
+    every depth is the prior, so after annealing depth 1 -> 2 the
+    WEIGHTED structure distribution must equal the exactly-enumerable
+    depth-2 prior. A wrong proposal/aux density in the extension weight
+    would bias these frequencies."""
+    from autogp_tpu.inference import smc_depth
+
+    P = 512
+    parts, cfg = smc_depth.run_smc_anneal_depth(
+        jax.random.PRNGKey(7), np.zeros(0), np.zeros(0), schedule=[1, 2],
+        n_particles=P, n_mcmc=1, n_hmc=0, noise=1.0)
+    assert cfg.max_depth == 2
+    nts = np.asarray(parts.node_type)
+    w = np.asarray(smc.normalized_weights(parts.log_weights))
+    ess = float(smc.effective_sample_size(parts.log_weights))
+    assert ess > 50
+
+    # Exact depth-2 prior over structures (node_dist_cp at the root,
+    # node_dist_leaf below an operator; GP.jl:1099-1138).
+    d_cp = np.asarray(cfg.node_dist_cp)
+    d_leaf = np.asarray(cfg.node_dist_leaf)
+    probs = {}
+    for root in range(1, 9):
+        if d_cp[root - 1] == 0:
+            continue
+        if root in (C.PLUS, C.TIMES, C.CHANGEPOINT):
+            for left in range(1, 6):
+                for right in range(1, 6):
+                    if d_leaf[left - 1] > 0 and d_leaf[right - 1] > 0:
+                        probs[root * 100 + left * 10 + right] = (
+                            d_cp[root - 1] * d_leaf[left - 1]
+                            * d_leaf[right - 1])
+        else:
+            probs[root * 100] = d_cp[root - 1]
+    assert abs(sum(probs.values()) - 1.0) < 1e-12
+
+    keys_got = nts[:, 0] * 100 + nts[:, 1] * 10 + nts[:, 2]
+    for sk, pw in sorted(probs.items()):
+        got = float(w[keys_got == sk].sum())
+        tol = 5.0 * np.sqrt(pw * (1 - pw) / ess) + 0.02
+        assert abs(got - pw) < tol, (sk, got, pw, tol)

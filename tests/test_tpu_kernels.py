@@ -197,3 +197,45 @@ def test_lml_fused_vjp_matches_unfused_tpu():
     scale = np.abs(gpu[gok]).max() + 1e-9
     assert np.max(np.abs(gpf[gok] - gpu[gok])) / scale < 1e-4
     np.testing.assert_allclose(gnf[gok], gnu[gok], rtol=1e-3, atol=1e-5)
+
+
+def test_grad_precision_bwd_chain_error_bound():
+    """Pins the TPU-side gradient error of the GRAD_PRECISION backward
+    chain (ADVICE r2): tri_inv_blocked + kinv_from_linv at HIGH on an
+    ill-conditioned N=1024 GP gram, against the same chain at HIGHEST
+    and an f64 host reference. Guards two regressions: a silent drop of
+    GRAD_PRECISION to DEFAULT (error would jump ~100x) and an accidental
+    rerouting of a value-path contraction through GRAD_PRECISION (the
+    CPU-f64 parity suite cannot see either, Precision being a no-op
+    there)."""
+    N = 1024
+    ts = np.linspace(0, 1, N)
+    # Small-noise SE gram: cond ~ 1e6, the hard end of HMC's range.
+    K64 = np.exp(-0.5 * ((ts[:, None] - ts[None, :]) / 0.25) ** 2) \
+        + 1e-4 * np.eye(N)
+    K32p = np.float64(np.float32(K64))
+    L64 = np.linalg.cholesky(K32p)
+    Kinv64 = np.linalg.inv(K32p)
+    L = jnp.asarray(np.float32(L64))[None]
+    scale = np.abs(Kinv64).max()
+
+    def chain(L, pm):
+        Linv = gp_math.tri_inv_blocked(L, precision=pm)
+        return gp_math.kinv_from_linv(Linv, precision=pm)
+
+    hi = np.asarray(jax.jit(
+        lambda L: chain(L, jax.lax.Precision.HIGHEST))(L)[0], np.float64)
+    gp = np.asarray(jax.jit(
+        lambda L: chain(L, gp_math.GRAD_PRECISION))(L)[0], np.float64)
+
+    err_hi = np.abs(hi - Kinv64).max() / scale
+    err_gp = np.abs(gp - Kinv64).max() / scale
+    # HIGHEST is f32-faithful even on this conditioning; GRAD_PRECISION
+    # (HIGH) compounds bf16-pass error through the combine levels but
+    # must stay within the documented 1e-2 relative bound — small enough
+    # that HMC acceptance (driven by the exact-LML ratio) is unaffected.
+    assert err_hi < 1e-4, err_hi
+    assert err_gp < 1e-2, err_gp
+    # The two settings must actually differ (GRAD_PRECISION not silently
+    # promoted) unless the platform ignores precision entirely.
+    assert err_gp > err_hi, (err_gp, err_hi)
