@@ -333,14 +333,13 @@ def lml_value_and_noise_grad_from_K0(K0, noise_z, xs, mask,
     # Fused factor+solve for the VALUE (same algorithm as model.lml's
     # primal); Linv only feeds the gradient (trace + beta), so it runs
     # at GRAD_PRECISION (see gp_math.GRAD_PRECISION).
-    from autogp_tpu.ops import chol_pallas
+    from autogp_tpu.ops import chol_pallas, kinv_pallas
     L, alpha = chol_pallas.chol_solve_psd(Km, xs * mask)
-    Linv = gp_math.tri_inv_blocked(L, precision=gp_math.GRAD_PRECISION)
+    beta, fro2 = kinv_pallas.linv_stats(L, alpha)
     n = jnp.sum(mask)
     logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
     val = -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
-    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.GRAD_PRECISION)
-    tr_active = jnp.sum(Linv * Linv) - (N - n)
+    tr_active = fro2 - (N - n)
     dlml_dnoise = -0.5 * (tr_active - jnp.sum(beta * beta))
     p = config.prior["wildcard"]
     dnoise_dz = p["sigma"] * (noise - C.MODEL_JITTER)

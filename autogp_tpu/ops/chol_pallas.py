@@ -153,6 +153,38 @@ def _panel_factor(panel_t, interpret: bool = False, subw: int = None):
     )(panel_t)
 
 
+def _trailing_lower(A, L21, block, precision):
+    """A22 - L21 L21^T computed for the LOWER block triangle only.
+
+    Every consumer of the trailing matrix reads only its lower triangle:
+    the panel factor kernel masks lanes above each column's diagonal, and
+    A21/L21 are strictly-lower strips. Skipping the upper blocks halves
+    both the MXU MACs and the einsum read traffic of the dominant
+    O(N^3/3) update; upper blocks are zero-filled (cheap stores, and the
+    zero upper keeps downstream junk-safety trivial)."""
+    P = L21.shape[0]
+    Anew_rows = []
+    mrem = A.shape[1] - block
+    nb2 = mrem // block
+    if nb2 * block != mrem or nb2 <= 1:
+        upd = jnp.einsum("pib,pjb->pij", L21, L21,
+                         preferred_element_type=A.dtype,
+                         precision=precision)
+        return A[:, block:, block:] - upd
+    for i in range(nb2):
+        r0, r1 = i * block, (i + 1) * block
+        upd = jnp.einsum("pib,pjb->pij", L21[:, r0:r1, :],
+                         L21[:, :r1, :],
+                         preferred_element_type=A.dtype,
+                         precision=precision)
+        row = A[:, block + r0:block + r1, block:block + r1] - upd
+        if r1 < mrem:
+            row = jnp.concatenate(
+                [row, jnp.zeros((P, block, mrem - r1), A.dtype)], axis=2)
+        Anew_rows.append(row)
+    return jnp.concatenate(Anew_rows, axis=1)
+
+
 def cholesky_batched(K, block: int = BLOCK, interpret: bool = False,
                      subw: int = None):
     """Lower-Cholesky of a batch [P, N, N] of SPD matrices.
@@ -186,9 +218,7 @@ def cholesky_batched(K, block: int = BLOCK, interpret: bool = False,
             A21 = A[:, block:, :block]                     # [P, m-B, B]
             L21 = jnp.einsum("pij,pkj->pik", A21, Linv,
                              preferred_element_type=K.dtype, precision=HI)
-            A = A[:, block:, block:] - jnp.einsum(
-                "pib,pjb->pij", L21, L21,
-                preferred_element_type=K.dtype, precision=HI)
+            A = _trailing_lower(A, L21, block, HI)
             Lp = jnp.concatenate([Lkk, L21], axis=1)       # [P, N-r0, B]
         else:
             Lp = Lkk
@@ -229,9 +259,7 @@ def cholesky_solve_batched(K, x, block: int = BLOCK,
             A21 = A[:, block:, :block]
             L21 = jnp.einsum("pij,pkj->pik", A21, Linv,
                              preferred_element_type=K.dtype, precision=HI)
-            A = A[:, block:, block:] - jnp.einsum(
-                "pib,pjb->pij", L21, L21,
-                preferred_element_type=K.dtype, precision=HI)
+            A = _trailing_lower(A, L21, block, HI)
             xcur = xcur[:, block:] - jnp.einsum(
                 "pij,pj->pi", L21, a_k,
                 preferred_element_type=K.dtype, precision=HI)

@@ -744,14 +744,11 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
 
     def bwd(res, g):
         par, L, alpha = res
-        Linv = gp_math.tri_inv_blocked(L,
-                                       precision=gp_math.GRAD_PRECISION)
-        beta = jnp.matmul(Linv.T, alpha,
-                          precision=gp_math.GRAD_PRECISION)
-        # The symmetric backward sweep reads only lower K^-1 blocks.
-        Kinv = gp_math.kinv_from_linv(Linv,
-                                      precision=gp_math.GRAD_PRECISION,
-                                      lower_only=True)
+        # Fused VMEM-resident K^-1/beta (ops/kinv_pallas.py) on TPU; the
+        # XLA blocked chain otherwise. The symmetric backward sweep reads
+        # only lower K^-1 blocks, which is exactly what it emits.
+        from autogp_tpu.ops import kinv_pallas
+        Kinv, beta, _ = kinv_pallas.kinv_beta(L, alpha)
         pbar, nbar = _cov_grads_tape(node_type, par, Kinv, ts, mask,
                                      depth_cap, masked=True,
                                      interpret=interpret, beta=beta,

@@ -1,0 +1,246 @@
+"""Fused per-particle K^-1 / beta / ||L^-1||_F^2 from a Cholesky factor.
+
+The LML gradient's closed-form cotangent (gp_math._mvn_logpdf_masked_bwd,
+cov_pallas_vjp.lml_tape_fused) needs K^-1 = L^-T L^-1, beta = K^-1 x, and
+the noise gradient additionally tr(K^-1) = ||L^-1||_F^2. The XLA chain
+(gp_math.tri_inv_blocked -> kinv_from_linv -> beta matmul) is bandwidth
+bound: every combine level of the recursive triangular inverse writes a
+full-matrix-sized intermediate to HBM (~6.2 ms total at [64,1024,1024]
+f32 on v5e).
+
+Here ONE Pallas kernel holds a whole particle's factor in VMEM (a
+[1024,1024] f32 matrix is 4 MB — it fits) and runs:
+
+  1. right-looking block forward substitution for Linv:
+     Linv[k,j] = -Wd[k] * sum_{j<=m<k} L[k,m] Linv[m,j], Linv[j,j] = Wd[j]
+     with the [B,B] diagonal-block inverses Wd precomputed OUTSIDE in one
+     small batched tri-inverse. Each of the nb sequential steps is one
+     wide [B,B]x[B,kB] finalize dot plus one [N-kB,B]x[B,kB] propagate
+     dot — no multi-level HBM intermediates, no narrow-dot chains;
+  2. beta[j-block] = Linv[jB:,jcol]^T alpha[jB:] and the Frobenius
+     reduction, read straight off the VMEM-resident Linv;
+  3. (want_kinv) K^-1 lower block-rows Kinv[bi,:bi+1] =
+     Linv[biB:,bicol]^T Linv[biB:,:(bi+1)B], one wide dot per block-row.
+
+The particle axis is the grid: L streams in and K^-1 streams out through
+Mosaic's pipelined block buffers, so the HBM traffic (4 MB in + 4 MB out
+per particle) overlaps the ~45 us of per-particle MXU work (a manual
+single-buffered DMA variant measured +2 ms of un-overlapped transfer on
+the 64-particle batch).
+
+K^-1 is emitted LOWER-ONLY (strictly-upper blocks zero, diagonal blocks
+dense-symmetric, matching gp_math.kinv_from_linv(lower_only=True)): the
+only consumer is the symmetric backward tape sweep, which never reads
+above the diagonal.
+
+In-kernel contractions run at HIGHEST (Mosaic rejects HIGH; HIGHEST is
+strictly more accurate than the XLA fallback chain's GRAD_PRECISION and
+the dots are a small fraction of this kernel's cost). This path feeds
+only gradient cotangents, never an LML value (see gp_math.py:36-53).
+
+Reference workload: HMC leapfrog gradients,
+/root/reference/src/inference_smc_anneal_data.jl:63-68.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128
+# Pipelined in/out block buffers (2 x 4 MB each) + the Linv window + the
+# unrolled-dot stack high-water must fit in VMEM; N=1024 measures ~35 MB,
+# well under the v5e budget (the 22-MB manual-DMA variant ran fine).
+MAX_N = 1024
+
+
+def supported(N: int, dtype) -> bool:
+    return N % BLOCK == 0 and N <= MAX_N and dtype == jnp.float32
+
+
+def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
+            precision, want_sub: bool = True, want_stats: bool = True):
+    if want_kinv:
+        kinv_ref, beta_ref, fro_ref, V = rest
+    else:
+        beta_ref, fro_ref, V = rest
+    B = BLOCK
+    N = nb * B
+    dt = V.dtype
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=dt,
+                                   precision=precision)
+
+    # --- Linv into V (right-looking block forward substitution) ---------
+    # Row-block k's running sums S_kj = sum_{j<=m<k} L[k,m] Linv[m,j]
+    # accumulate in V's own row-block; each step finalizes one row-block
+    # with a single wide dot and propagates it to all deeper rows with a
+    # single [N-r1,B]x[B,(k+1)B] dot.
+    for k in range(nb if want_sub else 0):
+        r0, r1 = k * B, (k + 1) * B
+        if k > 0:
+            V[r0:r1, 0:r0] = -dot(wd_ref[0, k], V[r0:r1, 0:r0],
+                                  ((1,), (0,)))
+        V[r0:r1, r0:r1] = wd_ref[0, k]
+        if k + 1 < nb:
+            upd = dot(l_ref[0, r1:N, r0:r1], V[r0:r1, 0:r1], ((1,), (0,)))
+            # columns < k accumulate; column k's first contribution
+            # overwrites the stale scratch.
+            if k > 0:
+                V[r1:N, 0:r0] = V[r1:N, 0:r0] + upd[:, 0:r0]
+            V[r1:N, r0:r1] = upd[:, r0:r1]
+
+    # --- beta = Linv^T alpha and the Frobenius reduction -----------------
+    # Rows above the diagonal of each column-block are stale scratch from
+    # the previous particle; every read below starts at the block's
+    # diagonal row, so they never leak.
+    if want_stats:
+        fro = jnp.zeros((), dt)
+        for j in range(nb):
+            c0, c1 = j * B, (j + 1) * B
+            Vj = V[c0:N, c0:c1]
+            beta_ref[0, 0:1, c0:c1] = dot(al_ref[0, c0:N, :], Vj,
+                                          ((0,), (0,)))
+            fro = fro + jnp.sum(Vj * Vj)
+        fro_ref[0, 0, 0] = fro
+    else:  # profiling variant: keep outputs defined
+        beta_ref[0, 0:1, 0:B] = V[0:1, 0:B]
+        fro_ref[0, 0, 0] = V[0, 0]
+
+    # --- K^-1 lower block-rows -------------------------------------------
+    # Row-block bi contracts rows >= bi*B (Linv is lower triangular);
+    # strictly-upper output blocks are zero-filled (the out buffer is
+    # uninitialized pipeline scratch).
+    if want_kinv:
+        for bi in range(nb):
+            r0 = bi * B
+            kinv_ref[0, r0:r0 + B, 0:r0 + B] = dot(
+                V[r0:N, r0:r0 + B], V[r0:N, 0:r0 + B], ((0,), (0,)))
+            if r0 + B < N:
+                kinv_ref[0, r0:r0 + B, r0 + B:N] = jnp.zeros(
+                    (B, N - r0 - B), dt)
+
+
+def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
+            want_sub: bool = True, want_stats: bool = True):
+    from autogp_tpu import gp_math
+    P, N, _ = L.shape
+    nb = N // BLOCK
+    dt = L.dtype
+    # Diagonal-block inverses: one small batched tri-inverse (the only
+    # sequential-substitution work left on the XLA side).
+    blocks = gp_math._diag_blocks(L, BLOCK)                 # [P, nb, B, B]
+    Wd = gp_math.tri_inv_blocked(blocks,
+                                 precision=gp_math.GRAD_PRECISION)
+    kernel = functools.partial(_kernel, nb=nb, want_kinv=want_kinv,
+                               precision=jax.lax.Precision.HIGHEST,
+                               want_sub=want_sub, want_stats=want_stats)
+    in_specs = [
+        pl.BlockSpec((1, nb, BLOCK, BLOCK), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, N), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((P, 1, N), dt),
+                 jax.ShapeDtypeStruct((P, 1, 1), dt)]
+    out_specs = [pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.SMEM)]
+    if want_kinv:
+        out_shape = [jax.ShapeDtypeStruct((P, N, N), dt)] + out_shape
+        out_specs = [pl.BlockSpec((1, N, N), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)] + out_specs
+    outs = pl.pallas_call(
+        kernel,
+        grid=(P,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((N, N), dt)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        cost_estimate=pl.CostEstimate(
+            flops=P * N * N * N * (2 if want_kinv else 1) // 3,
+            bytes_accessed=P * N * N * 4 * (2 if want_kinv else 1),
+            transcendentals=0),
+    )(Wd, alpha[:, :, None], L)
+    if want_kinv:
+        kinv, beta, fro = outs
+        return kinv, beta[:, 0, :], fro[:, 0, 0]
+    beta, fro = outs
+    return beta[:, 0, :], fro[:, 0, 0]
+
+
+def _chain_one(L, alpha):
+    """Unbatched fallback: the XLA blocked-inverse chain (identical to the
+    pre-fusion backward; also the CPU/interpret path)."""
+    from autogp_tpu import gp_math
+    Linv = gp_math.tri_inv_blocked(L, precision=gp_math.GRAD_PRECISION)
+    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.GRAD_PRECISION)
+    Kinv = gp_math.kinv_from_linv(Linv, precision=gp_math.GRAD_PRECISION,
+                                  lower_only=True)
+    return Kinv, beta, jnp.sum(Linv * Linv)
+
+
+def _stats_one(L, alpha):
+    from autogp_tpu import gp_math
+    Linv = gp_math.tri_inv_blocked(L, precision=gp_math.GRAD_PRECISION)
+    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.GRAD_PRECISION)
+    return beta, jnp.sum(Linv * Linv)
+
+
+@jax.custom_batching.custom_vmap
+def kinv_beta(L, alpha):
+    """(K^-1 lower-only, beta = L^-T alpha, ||L^-1||_F^2) for one factor.
+
+    Callers pass alpha = L^-1 (xs*mask), so beta = K^-1 xs. Under vmap on
+    TPU float32 (N a multiple of 128, N <= 1024) the whole batch runs the
+    fused VMEM-resident kernel; otherwise the XLA blocked chain. NOT
+    reverse-mode differentiable — custom_vjp backward rules only.
+    """
+    return _chain_one(L, alpha)
+
+
+@kinv_beta.def_vmap
+def _kinv_beta_vmap(axis_size, in_batched, L, alpha):
+    from autogp_tpu import backend
+    lb, ab = in_batched
+    if not (lb and ab):
+        L = L if lb else jnp.broadcast_to(L, (axis_size,) + L.shape)
+        alpha = alpha if ab else jnp.broadcast_to(
+            alpha, (axis_size,) + alpha.shape)
+    if L.ndim == 3 and supported(L.shape[-1], L.dtype) \
+            and backend.use_pallas():
+        return _launch(L, alpha, want_kinv=True), (True, True, True)
+    return jax.vmap(_chain_one)(L, alpha), (True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def linv_stats(L, alpha):
+    """(beta = L^-T alpha, ||L^-1||_F^2) — the noise-gradient statistics,
+    without forming K^-1 (lml_value_and_noise_grad* hot path)."""
+    return _stats_one(L, alpha)
+
+
+@linv_stats.def_vmap
+def _linv_stats_vmap(axis_size, in_batched, L, alpha):
+    from autogp_tpu import backend
+    lb, ab = in_batched
+    if not (lb and ab):
+        L = L if lb else jnp.broadcast_to(L, (axis_size,) + L.shape)
+        alpha = alpha if ab else jnp.broadcast_to(
+            alpha, (axis_size,) + alpha.shape)
+    if L.ndim == 3 and supported(L.shape[-1], L.dtype) \
+            and backend.use_pallas():
+        return _launch(L, alpha, want_kinv=False), (True, True)
+    return jax.vmap(_stats_one)(L, alpha), (True, True)

@@ -109,9 +109,17 @@ def config1():
     for _ in range(R):
         out = tpu_once(pt)
     jax_block(out)
-    tpu_s = (time.time() - t0) / R
+    tpu_wall = (time.time() - t0) / R
+    # Wall-clock through the axon relay is floored by the ~3 ms/dispatch
+    # relay round trip — an artifact of this tunnel, not of the TPU (a
+    # colocated host dispatches in ~0.1 ms). Report the true device time
+    # (loop-differenced, BENCH.md methodology) with the relay wall-clock
+    # as a note.
+    from scripts.tpu_timer import device_time
+    tpu_s = device_time(lambda eps: tpu_once(pt + eps))
     record("1a. fixed-kernel LML+quantiles N=200, batch 1", tpu_s, cpu_s,
            "s/eval", f"LML abs diff {abs(lml_tpu - lml_cpu):.1e}; "
+           f"device time (relay wall-clock {tpu_wall * 1e3:.1f} ms/eval); "
            "batch-1 is the TPU's worst regime")
 
     # 1b: the deployment shape — a particle batch evaluated at once.

@@ -236,3 +236,35 @@ def test_lml_tape_fused_matches_xla_grads(node):
     np.testing.assert_allclose(float(gf[1]), float(gx[1]), rtol=1e-8)
     pm = np.asarray(param_mask(nt))
     assert (np.asarray(gf[0])[pm == 0] == 0).all()
+
+
+def test_kinv_pallas_kernel_interpret():
+    """The fused K^-1/beta/fro kernel (ops/kinv_pallas.py) in interpret
+    mode vs the XLA blocked chain it replaces (compiled-kernel parity on
+    hardware: tests/test_tpu_kernels.py::test_kinv_beta_fused_vs_chain)."""
+    import jax.numpy as jnp
+    from autogp_tpu.ops import kinv_pallas
+
+    rng = np.random.default_rng(3)
+    P, N = 2, 256
+    A = rng.standard_normal((P, N, N))
+    K64 = A @ np.swapaxes(A, 1, 2) + N * np.eye(N)
+    L = jnp.asarray(np.linalg.cholesky(K64), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((P, N)), jnp.float32)
+
+    kf, bf, ff = kinv_pallas._launch(L, x, want_kinv=True, interpret=True)
+    kc, bc, fc = jax.vmap(kinv_pallas._chain_one)(L, x)
+    kf, bf, ff, kc, bc, fc = (np.asarray(a, np.float64)
+                              for a in (kf, bf, ff, kc, bc, fc))
+    scale = np.abs(kc).max()
+    assert np.abs(np.tril(kf) - np.tril(kc)).max() / scale < 1e-5
+    # lower-only contract: strictly-upper BLOCKS are zero.
+    assert np.abs(np.triu(kf, kinv_pallas.BLOCK)).max() == 0.0
+    np.testing.assert_allclose(bf, bc, rtol=1e-4,
+                               atol=1e-5 * np.abs(bc).max())
+    np.testing.assert_allclose(ff, fc, rtol=1e-4)
+    # stats-only variant
+    bs, fs = kinv_pallas._launch(L, x, want_kinv=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(bs, np.float64), bf, rtol=1e-6,
+                               atol=1e-7 * np.abs(bc).max())
+    np.testing.assert_allclose(np.asarray(fs, np.float64), ff, rtol=1e-6)

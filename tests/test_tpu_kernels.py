@@ -142,19 +142,31 @@ def test_grad_lml_tpu_vs_cpu_reference():
 
 
 def test_lml_fused_vjp_matches_unfused_tpu():
-    """lml_tape_fused grads == the unfused cov_matrix_diff + MVN-cvjp
-    chain on hardware (the in-kernel Kbar formation vs XLA's)."""
+    """lml_tape_fused grads vs the unfused cov_matrix_diff + MVN-cvjp
+    chain on hardware, both judged against pinned f64 truth.
+
+    The two backwards are DIFFERENT f32 algorithms (fused: Pallas
+    kinv_beta at in-kernel HIGHEST; unfused: XLA blocked chain at
+    GRAD_PRECISION): on ill-conditioned prior draws each deviates from
+    the f64 gradient by far more than any fixed path-vs-path tolerance
+    (measured: a PD-cliff particle puts BOTH at ~2e-1 relative error vs
+    f64). So accuracy is asserted per particle against the f64 golden
+    (scripts/gen_golden_grad.py, CPU evaluator — itself mpmath-pinned by
+    tests/test_golden.py): the fused path must not be meaningfully less
+    accurate than the chain it replaced."""
+    import os
+
     from autogp_tpu.ops import cov_pallas_vjp
 
     cfg = GPConfig(max_depth=4)
     tables = M.prior_tables(cfg)
-    rng = np.random.default_rng(7)
-    N = 256
-    ts = np.linspace(0.0, 1.0, N)
-    xs = np.sin(2 * np.pi * 3 * ts) + 0.1 * rng.standard_normal(N)
-    data = smc.make_dataset(ts, xs, pad_to=N, dtype=jnp.float32)
-    parts = smc.initialize(jax.random.PRNGKey(3), 8, data, cfg, tables,
-                           dtype=jnp.float32)
+    z = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "vjp_grad_f64.npz"))
+    N = len(z["ts"])
+    data = smc.make_dataset(z["ts"], z["xs"], pad_to=N, dtype=jnp.float32)
+    nt = jnp.asarray(z["node_type"])
+    pz = jnp.asarray(z["params"], jnp.float32)
+    nz = jnp.asarray(z["noise_z"], jnp.float32)
 
     def g_fused(pz, nz, nt):
         def f(pz, nz):
@@ -174,17 +186,20 @@ def test_lml_fused_vjp_matches_unfused_tpu():
                                                   True)
         return jax.value_and_grad(f, argnums=(0, 1))(pz, nz)
 
-    vf, (gpf, gnf) = jax.jit(jax.vmap(g_fused))(
-        parts.params, parts.noise_z, parts.node_type)
-    vu, (gpu, gnu) = jax.jit(jax.vmap(g_unfused))(
-        parts.params, parts.noise_z, parts.node_type)
+    vf, (gpf, gnf) = jax.jit(jax.vmap(g_fused))(pz, nz, nt)
+    vu, (gpu, gnu) = jax.jit(jax.vmap(g_unfused))(pz, nz, nt)
     vf, vu = np.asarray(vf, np.float64), np.asarray(vu, np.float64)
     ok = np.isfinite(vf) & np.isfinite(vu)
     assert ok.sum() >= len(vf) // 2
     np.testing.assert_allclose(vf[ok], vu[ok], rtol=1e-6)
+    # value vs f64 truth: O(N)-scaled f32 bound (logdet/quad ~ 1e2);
+    # rtol covers the ill-conditioned draws' amplified logdet error
+    # (measured 1.3e-4 rel on the PD-cliff particle).
+    np.testing.assert_allclose(vf[ok], z["v64"][ok], rtol=5e-4,
+                               atol=1e-4 * N)
     # Ill-conditioned f32 prior draws can NaN in the GRADIENT even when
     # the value is finite (PD cliff); both paths must NaN on the same
-    # particles, and agree wherever both are finite.
+    # particles.
     gpf, gpu = np.asarray(gpf, np.float64), np.asarray(gpu, np.float64)
     gnf, gnu = np.asarray(gnf, np.float64), np.asarray(gnu, np.float64)
     gok = (ok & np.isfinite(gpf).all(axis=(1, 2))
@@ -194,9 +209,64 @@ def test_lml_fused_vjp_matches_unfused_tpu():
     np.testing.assert_array_equal(
         np.isfinite(gpf[ok]).all(axis=(1, 2)),
         np.isfinite(gpu[ok]).all(axis=(1, 2)))
-    scale = np.abs(gpu[gok]).max() + 1e-9
-    assert np.max(np.abs(gpf[gok] - gpu[gok])) / scale < 1e-4
-    np.testing.assert_allclose(gnf[gok], gnu[gok], rtol=1e-3, atol=1e-5)
+    gp64, gn64 = z["gp64"], z["gn64"]
+    for i in np.where(gok)[0]:
+        s = np.abs(gp64[i]).max() + 1e-9
+        ef = np.abs(gpf[i] - gp64[i]).max() / s
+        eu = np.abs(gpu[i] - gp64[i]).max() / s
+        # no meaningful accuracy regression vs the replaced chain
+        assert ef <= 3.0 * eu + 1e-6, (i, ef, eu)
+        # well-conditioned particles must be accurate in absolute terms
+        if eu < 1e-4:
+            assert ef < 5e-4, (i, ef, eu)
+        sn = abs(gn64[i]) + 1e-9
+        efn = abs(gnf[i] - gn64[i]) / sn
+        eun = abs(gnu[i] - gn64[i]) / sn
+        assert efn <= 3.0 * eun + 1e-5, (i, efn, eun)
+
+
+def test_kinv_beta_fused_vs_chain_and_f64(spd_batch):
+    """The fused VMEM-resident K^-1/beta kernel (ops/kinv_pallas.py) vs
+    the XLA blocked chain and float64 ground truth."""
+    from autogp_tpu.ops import kinv_pallas
+
+    K64, K = spd_batch
+    rng = np.random.default_rng(5)
+    L64 = np.linalg.cholesky(K64)
+    L = jnp.asarray(L64, jnp.float32)
+    x = jnp.asarray(rng.standard_normal(K64.shape[:2]), jnp.float32)
+
+    kf, bf, ff = jax.jit(
+        lambda L, x: jax.vmap(kinv_pallas.kinv_beta)(L, x))(L, x)
+    kc, bc, fc = jax.jit(jax.vmap(kinv_pallas._chain_one))(L, x)
+    kf, bf, ff, kc, bc, fc = (np.asarray(a, np.float64)
+                              for a in (kf, bf, ff, kc, bc, fc))
+    # f64 truth from the f32-cast factor (isolates kernel error).
+    L32p = np.float64(np.float32(L64))
+    Kinv64 = np.linalg.inv(L32p @ np.swapaxes(L32p, 1, 2))
+    scale = np.abs(Kinv64).max()
+    assert np.abs(np.tril(kf) - np.tril(Kinv64)).max() / scale < 1e-5
+    # HIGHEST in-kernel must not be WORSE than the HIGH chain.
+    assert (np.abs(np.tril(kf) - np.tril(Kinv64)).max()
+            <= np.abs(np.tril(kc) - np.tril(Kinv64)).max() * 1.5)
+    # lower-only contract: strictly-upper BLOCKS are zero (diagonal
+    # blocks stay dense-symmetric, like kinv_from_linv(lower_only=True)).
+    assert np.abs(np.triu(kf, 128)).max() == 0.0
+    # beta = L^-T alpha (callers pass alpha = L^-1 (xs*mask)).
+    beta64 = np.stack([np.linalg.inv(L32p[i]).T @ np.asarray(x[i],
+                                                             np.float64)
+                       for i in range(len(x))])
+    bs = np.abs(beta64).max()
+    assert np.abs(bf - beta64).max() / bs < 1e-5
+    fro64 = np.stack([np.sum(np.linalg.inv(L32p[i]) ** 2)
+                      for i in range(len(x))])
+    np.testing.assert_allclose(ff, fro64, rtol=1e-4)
+    # stats variant agrees with the kinv variant.
+    bsv, fsv = jax.jit(
+        lambda L, x: jax.vmap(kinv_pallas.linv_stats)(L, x))(L, x)
+    np.testing.assert_allclose(np.asarray(bsv, np.float64), bf, rtol=1e-6,
+                               atol=1e-7 * bs)
+    np.testing.assert_allclose(np.asarray(fsv, np.float64), ff, rtol=1e-6)
 
 
 def test_grad_precision_bwd_chain_error_bound():
