@@ -41,6 +41,9 @@ def tpu_throughput():
     from autogp_tpu import model as M
     from autogp_tpu.inference import smc
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     dtype = jnp.float32
     cfg = GPConfig(max_depth=5)
     tables = M.prior_tables(cfg)
@@ -65,14 +68,19 @@ def tpu_throughput():
     out.block_until_ready()
     log(f"tpu compile+first: {time.time() - t0:.1f}s")
 
+    # Distinct inputs per iteration (defeats any result caching), built
+    # OUTSIDE the timed loop: an eager device add inside it would add a
+    # second relay dispatch per iteration that is not LML work.
+    perturbed = [jax.block_until_ready(nz + 1e-6 * (i + 1))
+                 for i in range(max(WARMUP, ITERS))]
+
     for i in range(WARMUP):
-        out = lml_all(particles.node_type, particles.params, nz + 1e-6 * i)
+        out = lml_all(particles.node_type, particles.params, perturbed[i])
     out.block_until_ready()
 
     t0 = time.time()
     for i in range(ITERS):
-        out = lml_all(particles.node_type, particles.params,
-                      nz + 1e-6 * (i + 1))
+        out = lml_all(particles.node_type, particles.params, perturbed[i])
     out.block_until_ready()
     dt = time.time() - t0
     evals_per_sec = P * ITERS / dt
