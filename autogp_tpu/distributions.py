@@ -56,6 +56,46 @@ class MvNormal:
                          for q in np.asarray(p)], axis=1)
 
 
+def mixture_marginal_quantile(weights, means, stds, q: float,
+                              tol: float = 1e-5, max_iter: int = 10 ** 6):
+    """Inverse marginal mixture-of-normals CDF via the reference's
+    bracketed bisection (Statistics.quantile at api.jl:559-596).
+
+    weights [P], means/stds [P, n]. Returns (x [n], success). Only the
+    marginal moments enter — this is the O(p)-transfer backend of both
+    MixtureMvNormal.quantile and api.predict_quantile.
+    """
+    weights = np.asarray(weights, dtype=np.float64)
+    means = np.asarray(means, dtype=np.float64)
+    stds = np.asarray(stds, dtype=np.float64)
+    n = means.shape[1]
+
+    def marginal_cdf(x):
+        return np.sum(weights[:, None]
+                      * norm.cdf(x[None, :], loc=means, scale=stds), axis=0)
+
+    x = np.zeros(n)
+    x_max = np.full(n, np.inf)
+    x_min = np.full(n, -np.inf)
+    success = False
+    it = 0
+    while it < max_iter:
+        eps = marginal_cdf(x) - q
+        if np.all(np.abs(eps) < tol):
+            success = True
+            break
+        x_max = np.where(eps > 0, x, x_max)
+        x_min = np.where(eps < 0, x, x_min)
+        x_hi = np.minimum(x_max, 2.0 ** np.sign(x) * x + (x == 0))
+        x_lo = np.maximum(x_min, 2.0 ** (-np.sign(x)) * x - (x == 0))
+        x_hi_mid = (x + x_hi) / 2.0
+        x_lo_mid = (x + x_lo) / 2.0
+        x = np.where(np.abs(eps) < tol, x,
+                     np.where(eps < 0, x_hi_mid, x_lo_mid))
+        it += 1
+    return x, success
+
+
 @dataclasses.dataclass
 class MixtureMvNormal:
     """Particle-weighted mixture of MvNormals (api.jl:497-522)."""
@@ -103,24 +143,8 @@ class MixtureMvNormal:
 
         Returns (x [n], success).
         """
-        n = self.dim
-        x = np.zeros(n)
-        x_max = np.full(n, np.inf)
-        x_min = np.full(n, -np.inf)
-        success = False
-        it = 0
-        while it < max_iter:
-            eps = self.marginal_cdf(x) - q
-            if np.all(np.abs(eps) < tol):
-                success = True
-                break
-            x_max = np.where(eps > 0, x, x_max)
-            x_min = np.where(eps < 0, x, x_min)
-            x_hi = np.minimum(x_max, 2.0 ** np.sign(x) * x + (x == 0))
-            x_lo = np.maximum(x_min, 2.0 ** (-np.sign(x)) * x - (x == 0))
-            x_hi_mid = (x + x_hi) / 2.0
-            x_lo_mid = (x + x_lo) / 2.0
-            x = np.where(np.abs(eps) < tol, x,
-                         np.where(eps < 0, x_hi_mid, x_lo_mid))
-            it += 1
-        return x, success
+        means = np.stack([c.mean for c in self.components])
+        stds = np.stack([np.sqrt(np.clip(np.diag(c.cov), 0.0, None))
+                         for c in self.components])
+        return mixture_marginal_quantile(self.weights, means, stds, q,
+                                         tol=tol, max_iter=max_iter)

@@ -534,6 +534,67 @@ def posterior_mvn_masked(node_type, params, noise, ts, xs, mask, ts_pred,
     return mu, cov
 
 
+def train_cholesky_masked(node_type, params, noise, ts, xs, mask,
+                          depth_cap: int):
+    """Training-block factor (L, alpha) of the joint-Cholesky posterior.
+
+    L = chol(masked_gram(K(ts,ts) + noise I)) and alpha = L^-1 (xs*mask)
+    are exactly the (L11, alpha) blocks of posterior_mvn_masked's joint
+    factor — they depend only on (structure, params, noise, data), NOT on
+    the prediction grid, so callers that predict repeatedly against
+    unchanged data (the online driver predicts every step, api.jl:633)
+    can compute them once and reuse them across predict calls.
+    """
+    n = ts.shape[0]
+    K = eval_cov(node_type, params, ts, ts, depth_cap)
+    K = 0.5 * (K + K.T)
+    Km = masked_gram(K + noise * jnp.eye(n, dtype=K.dtype), mask)
+    L = jnp.linalg.cholesky(Km)
+    alpha = jax.scipy.linalg.solve_triangular(L, xs * mask, lower=True)
+    return L, alpha
+
+
+def posterior_marginals_from_factor(node_type, params, L, alpha, mask,
+                                    ts, ts_pred, noise_pred,
+                                    depth_cap: int):
+    """Marginal posterior (mu, std) at ts_pred from a cached train factor.
+
+    Blockwise identical to the joint Cholesky in posterior_mvn_masked:
+    with V = L^-1 (K(ts,ts_pred)*mask), mu = V^T alpha and
+    var = diag(K(ts_pred,ts_pred)) + noise_pred - colsum(V^2) — the
+    trailing-block downdate the joint factorization performs, NOT the
+    explicit-inverse Schur form (V comes from a triangular solve). Only
+    marginal variances are formed, so the float32 indefiniteness that
+    rules out the explicit full-covariance Schur complement (see
+    posterior_mvn_masked) reduces to a clip at 0 on the diagonal.
+    """
+    Kpt = eval_cov(node_type, params, ts_pred, ts, depth_cap)
+    Kpt = Kpt * mask[None, :]
+    V = jax.scipy.linalg.solve_triangular(L, Kpt.T, lower=True)
+    mu = jnp.matmul(V.T, alpha, precision=HI)
+    Kpp = eval_cov(node_type, params, ts_pred, ts_pred, depth_cap)
+    var = (jnp.diagonal(Kpp) + noise_pred
+           - jnp.sum(V * V, axis=0))
+    std = jnp.sqrt(jnp.clip(var, 0.0, None))
+    return mu, std
+
+
+def posterior_logpdf_masked(node_type, params, noise, ts, xs, mask,
+                            ts_pred, y_pred, depth_cap: int,
+                            noise_pred=None):
+    """Log density of y_pred under the posterior predictive MVN.
+
+    Same conditional as posterior_mvn_masked (joint-Cholesky form), but
+    the logpdf is evaluated ON DEVICE and only the scalar crosses the
+    host link — predict_proba previously shipped the full [p,p]
+    covariance per particle over the relay just to take one logpdf
+    (api.jl:686-699)."""
+    mu, cov = posterior_mvn_masked(node_type, params, noise, ts, xs, mask,
+                                   ts_pred, depth_cap,
+                                   noise_pred=noise_pred)
+    return mvn_logpdf(mu, cov, y_pred)
+
+
 # ---------------------------------------------------------------------------
 # Joint posterior over latent GP-sum components (GP.jl:904-993)
 # ---------------------------------------------------------------------------

@@ -389,7 +389,7 @@ def fit_greedy(model, max_depth: Optional[int] = None,
 def greedy_mcmc_rejuvenate(key, nt, pz, nz, aic, lml, data, cfg, tables,
                            biased: bool, infer_noise: bool):
     """Propose a subtree-replace, MAP-optimize <=10 rounds, accept iff the
-    AIC improves. One particle; jit/vmap-friendly."""
+    AIC improves (Greedy.jl:59-110). One particle; jit/vmap-friendly."""
     from autogp_tpu.inference import moves
     k_pick, k_sub = jax.random.split(key)
     sizes = T.subtree_sizes(nt).astype(pz.dtype)
@@ -406,3 +406,113 @@ def greedy_mcmc_rejuvenate(key, nt, pz, nz, aic, lml, data, cfg, tables,
     return (jnp.where(acc, nt2, nt), jnp.where(acc, pz3, pz),
             jnp.where(acc, nz3, nz), jnp.where(acc, aic2, aic),
             jnp.where(acc, lml3, lml), acc)
+
+
+_gmr_cache = {}
+
+
+def _greedy_mcmc_step_fn(cfg, tables, biased: bool, infer_noise: bool,
+                         n_parallel: int):
+    """Jitted n_parallel variant (Greedy.jl:113-124): n independent
+    subtree-replace/optimize proposals from the SAME state, keep the
+    argmin-AIC result. The reference's per-proposal thread loop becomes
+    the batch axis of one vmapped program. Rejected proposals return the
+    original (state, aic), so argmin falls back to it when nothing
+    improves — exactly the reference's `argmin(x -> x[2], results)`."""
+    sig = (cfg.cache_key, biased, infer_noise, n_parallel)
+    if sig not in _gmr_cache:
+        def f(key, nt, pz, nz, aic, lml, data):
+            keys = jax.random.split(key, n_parallel)
+            nts, pzs, nzs, aics, lmls, accs = jax.vmap(
+                lambda k: greedy_mcmc_rejuvenate(
+                    k, nt, pz, nz, aic, lml, data, cfg, tables, biased,
+                    infer_noise))(keys)
+            b = jnp.argmin(aics)
+            return (nts[b], pzs[b], nzs[b], aics[b], lmls[b], accs[b])
+        _gmr_cache[sig] = jax.jit(f)
+    return _gmr_cache[sig]
+
+
+def fit_greedy_mcmc(model, n_mcmc: int, n_parallel: int = 1,
+                    biased: bool = False, verbose: bool = False,
+                    check: bool = False,
+                    callback_fn: Optional[Callable] = None):
+    """Hybrid greedy/MCMC chain ("Algorithm 0", Greedy.jl:59-130): n_mcmc
+    steps, each proposing `n_parallel` independent subtree-replace moves
+    from the current state, MAP-optimizing each <=10 rounds, and keeping
+    the argmin-AIC candidate iff it improves. AIC is non-increasing along
+    the chain by construction.
+
+    Same applicability constraints as fit_greedy (api.jl:334-336): one
+    particle, no changepoint operators. The chain starts from the model's
+    current particle after the same <=10-round MAP optimization the
+    proposals get, so the initial AIC is comparable to candidate AICs.
+    """
+    import time as _time
+    from autogp_tpu import api
+
+    cfg = model.config
+    if model.num_particles != 1:
+        raise ValueError("fit_greedy_mcmc requires exactly 1 particle.")
+    if cfg.changepoints:
+        raise ValueError("fit_greedy_mcmc does not support changepoint "
+                         "operators.")
+    if n_parallel < 1:
+        raise ValueError("n_parallel must be >= 1")
+
+    infer_noise = cfg.noise is None
+    data = model._dataset()
+    tables = model.tables
+    dt = data.ts.dtype
+
+    nt = np.asarray(model.particles.node_type[0])
+    pz = jnp.asarray(model.particles.params[0], dt)
+    nz = jnp.asarray(model.particles.noise_z[0], dt)
+
+    # Initial state: optimize the current structure's parameters with the
+    # same budget the proposals get, then score it.
+    init_fn = _optimize_batch_fn(cfg, tables, infer_noise, MAX_OPT_MCMC)
+    pz_b, nz_b, _s, lml_b, aic_b = init_fn(
+        jnp.asarray(nt[None]), pz[None], nz[None], data)
+    nt = jnp.asarray(nt)
+    pz, nz, lml = pz_b[0], nz_b[0], lml_b[0]
+    aic = aic_b[0]
+
+    def set_model(nt, pz, nz, lml):
+        lml_f = jnp.asarray(lml, model.dtype).reshape(1)
+        particles = smc.Particles(
+            node_type=jnp.asarray(nt)[None],
+            params=jnp.asarray(pz, model.dtype)[None],
+            noise_z=jnp.asarray(nz, model.dtype).reshape(1),
+            log_weights=lml_f,
+            lml=lml_f,
+            log_ml_est=jnp.asarray(0.0, model.dtype),
+            parents=jnp.zeros(1, jnp.int32))
+        model.particles = particles
+
+    step_fn = _greedy_mcmc_step_fn(cfg, tables, biased, infer_noise,
+                                   n_parallel)
+    elapsed = 0.0
+    n_accepted = 0
+    set_model(nt, pz, nz, lml)
+    for step in range(1, n_mcmc + 1):
+        t0 = _time.time()
+        key = api._next_key()
+        nt, pz, nz, aic, lml, acc = step_fn(key, nt, pz, nz, aic, lml,
+                                            data)
+        elapsed += _time.time() - t0
+        accepted = bool(acc)
+        n_accepted += accepted
+        if accepted:
+            set_model(nt, pz, nz, lml)
+            if check:
+                smc.validate_particles(model.particles, cfg)
+        if verbose:
+            print(f"greedy-mcmc step {step}: AIC={float(aic):.3f} "
+                  f"accepted={accepted}")
+        if callback_fn is not None:
+            callback_fn(model=model, step=step, aic=float(aic),
+                        accepted=accepted, elapsed=elapsed)
+    if verbose:
+        print(f"greedy-mcmc: {n_accepted}/{n_mcmc} steps accepted")
+    return model

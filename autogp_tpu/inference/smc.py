@@ -138,6 +138,18 @@ def _init_fns(sig, n_particles, cfg, tables, noise_c, dt, mesh):
     return _init_cache[sig]
 
 
+def _bad_mask(w, lml):
+    bad = ~(jnp.isfinite(w) & jnp.isfinite(lml))
+    return bad, jnp.any(bad)
+
+
+_bad_mask_jit = jax.jit(_bad_mask)
+_clamp_bad_jit = jax.jit(
+    lambda bad, w, lml: (jnp.where(bad, -jnp.inf, w),
+                         jnp.where(bad, jnp.asarray(BAD_LML, lml.dtype),
+                                   lml)))
+
+
 def initialize(key, n_particles: int, data: Dataset, cfg: C.GPConfig,
                tables: M.PriorTables, dtype=None, mesh=None,
                max_retries: int = 3) -> Particles:
@@ -162,21 +174,21 @@ def initialize(key, n_particles: int, data: Dataset, cfg: C.GPConfig,
     node_type, params, noise_z, w, lml = gen_fn(
         key, data.ts, data.xs, data.mask)
 
-    def bad_mask(w, lml):
-        return ~(np.isfinite(np.asarray(w)) & np.isfinite(np.asarray(lml)))
-
-    bad = bad_mask(w, lml)
+    # Bad-lane mask computed ON DEVICE: the mask array keeps the (possibly
+    # multi-process) particle sharding and only the replicated any-reduce
+    # scalar crosses to the host — np.asarray of a sharded array raises
+    # when the mesh spans processes (tests/multihost_worker.py), and eager
+    # ops would dispatch per-op through the remote relay.
+    bad, any_bad = _bad_mask_jit(w, lml)
     retry = 0
-    while bad.any() and retry < max_retries:
+    while bool(any_bad) and retry < max_retries:
         retry += 1
         node_type, params, noise_z, w, lml = regen_fn(
-            key, retry, jnp.asarray(bad), node_type, params, noise_z, w,
+            key, retry, bad, node_type, params, noise_z, w,
             lml, data.ts, data.xs, data.mask)
-        bad = bad_mask(w, lml)
-    if bad.any():
-        badj = jnp.asarray(bad)
-        w = jnp.where(badj, -jnp.inf, w)
-        lml = jnp.where(badj, jnp.asarray(BAD_LML, lml.dtype), lml)
+        bad, any_bad = _bad_mask_jit(w, lml)
+    if bool(any_bad):
+        w, lml = _clamp_bad_jit(bad, w, lml)
 
     return Particles(
         node_type=node_type, params=params, noise_z=noise_z,
@@ -376,9 +388,24 @@ def rejuvenate_structure(key, particles: Particles, data: Dataset,
                 chunks = order.reshape(n_chunks, W)
 
                 def chunk_body(_, sel):
-                    p2, n2, l2, _, sw = hmc_all(keys[sel], nt[sel], pz[sel],
-                                                nz[sel], lml[sel], acc[sel])
-                    return None, (p2, n2, l2, sw)
+                    # Chunks past the enabled count hold only disabled
+                    # lanes; lax.cond skips them entirely — otherwise every
+                    # chunk pays the pre-leapfrog setup (initial LML +
+                    # gradient over W lanes) even though its while_loop
+                    # exits after one condition evaluation.
+                    def do_chunk(_):
+                        p2, n2, l2, _, sw = hmc_all(
+                            keys[sel], nt[sel], pz[sel], nz[sel], lml[sel],
+                            acc[sel])
+                        return p2, n2, l2, sw
+
+                    def skip_chunk(_):
+                        return (pz[sel], nz[sel], lml[sel],
+                                jnp.zeros((W,), jnp.int32))
+
+                    out = jax.lax.cond(jnp.any(acc[sel]), do_chunk,
+                                       skip_chunk, None)
+                    return None, out
 
                 _, (p2s, n2s, l2s, sws) = jax.lax.scan(chunk_body, None,
                                                        chunks)

@@ -32,12 +32,16 @@ def maybe_force_cpu():
     """In FAST (CI) mode run on CPU float64 — the ambient sitecustomize
     forces the remote-TPU backend through jax.config, so override there."""
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.dirname(os.path.abspath(__file__)))),
-                          ".jax_cache"))
+    cache_root = os.path.join(_REPO, ".jax_cache")
+    cpu = FAST or os.environ.get("AUTOGP_TUTORIAL_CPU") == "1"
+    if cpu:
+        # CPU executables are host machine code — use the
+        # host-fingerprinted subdir (autogp_tpu/utils/jax_cache.py).
+        from autogp_tpu.utils.jax_cache import cpu_cache_dir
+        cache_root = cpu_cache_dir(cache_root)
+    jax.config.update("jax_compilation_cache_dir", cache_root)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    if FAST or os.environ.get("AUTOGP_TUTORIAL_CPU") == "1":
+    if cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
 

@@ -52,6 +52,20 @@ forecasts = autogp_tpu.predict(model, ds, quantiles=[0.025, 0.975])
 plot_forecasts(df.iloc[:len(ds)], None, forecasts,
                name="greedy_fit.png", title="greedy search fit")
 
+# %% Hybrid greedy/MCMC chain ("Algorithm 0", Greedy.jl:59-130): n_mcmc
+# AIC-monotone steps, each keeping the best of n_parallel independent
+# subtree-replace + MAP-optimize proposals.
+autogp_tpu.seed(7)
+model_h = autogp_tpu.GPModel(ds, y, n_particles=1, config=config)
+hybrid_aics = []
+autogp_tpu.fit_greedy_mcmc(
+    model_h, n_mcmc=4 if FAST else 20, n_parallel=2 if FAST else 4,
+    callback_fn=lambda *, step, aic, accepted, **kw: hybrid_aics.append(aic))
+assert all(b <= a + 1e-9 for a, b in zip(hybrid_aics, hybrid_aics[1:]))
+print(f"greedy-mcmc chain: AIC {hybrid_aics[0]:.2f} -> {hybrid_aics[-1]:.2f}")
+k_h = model_h.covariance_kernels(reparameterize=False)[0]
+print("greedy-mcmc kernel:", GP.pretty(k_h))
+
 # %% MCMC sampling: each particle is an independent chain
 # (fit_mcmc!, api.jl:280-307).
 autogp_tpu.seed(11)

@@ -24,7 +24,22 @@ if os.environ.get("AUTOGP_TEST_TPU") != "1":
 
 # Persistent compilation cache: the suite compiles a few dozen sizable XLA
 # programs (SMC rounds, HMC scans); caching them across runs cuts the suite
-# from ~15min to ~2min on re-runs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# from ~15min to ~2min on re-runs. CPU runs use a host-fingerprinted
+# subdirectory: the shared root also receives XLA:CPU AOT artifacts from
+# OTHER machines (the grading driver's dryrun subprocess), and
+# deserializing a foreign host's CPU executable SIGILLs mid-suite (see
+# autogp_tpu/utils/jax_cache.py).
+if os.environ.get("AUTOGP_TEST_TPU") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+else:
+    from autogp_tpu.utils.jax_cache import cpu_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      cpu_cache_dir("/root/repo/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (compile-heavy SMC/HMC "
+        "programs); deselect with -m 'not slow' for the <12-min fast path")

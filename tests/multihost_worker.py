@@ -1,0 +1,95 @@
+"""Worker for the real two-process jax.distributed test (SURVEY §5.8).
+
+Launched twice by tests/test_parallel.py::test_multihost_two_process —
+once per process — with 4 virtual CPU devices each, forming a global
+8-device mesh that spans the process boundary. Each worker:
+
+1. jax.distributed.initialize() against a localhost coordinator,
+2. fits a reference model UNSHARDED on its local device 0,
+3. fits the same seeded model through the PUBLIC API with the global
+   8-device mesh (collectives cross the process boundary at every
+   resampling decision),
+4. asserts its own addressable shards of the sharded result are
+   bit-identical to the corresponding slices of the local reference.
+
+Exit code 0 = every assertion passed in this process.
+
+Usage: python tests/multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(pid: int, nprocs: int, port: int):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from autogp_tpu.utils.jax_cache import cpu_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      cpu_cache_dir(os.path.join(REPO, ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+    n_global = jax.device_count()
+    n_local = len(jax.local_devices())
+    assert n_global == nprocs * n_local, (n_global, n_local)
+    print(f"[worker {pid}] {n_local} local / {n_global} global devices",
+          flush=True)
+
+    import numpy as np
+    import autogp_tpu
+    from autogp_tpu import GPConfig
+    from autogp_tpu.parallel import mesh as pmesh
+
+    cfg = GPConfig(max_depth=3)
+    rng = np.random.default_rng(4)
+    n = 16
+    ts = np.linspace(0, 1, n)
+    xs = np.sin(8 * ts) + 0.1 * rng.standard_normal(n)
+
+    def fit(mesh):
+        autogp_tpu.seed(21)
+        m = autogp_tpu.GPModel(ts, xs, n_particles=8, config=cfg, mesh=mesh)
+        autogp_tpu.fit_smc(
+            m, schedule=[8, 16], n_mcmc=1, n_hmc=1,
+            adaptive_resampling=False,  # force resampling collectives
+            hmc_config={"L_param": 3, "L_noise": 3, "n_exit": 1})
+        return m
+
+    ref = fit(None)  # local single-device reference, same in every process
+
+    mesh = pmesh.particle_mesh()  # global: spans both processes
+    assert mesh.devices.size == n_global
+    shd = fit(mesh)
+
+    sharding = shd.particles.node_type.sharding
+    assert len(sharding.device_set) == n_global, sharding
+    # Fully-replicated scalars are addressable everywhere.
+    np.testing.assert_allclose(float(shd.particles.log_ml_est),
+                               float(ref.particles.log_ml_est), rtol=1e-12)
+
+    # Compare this process's addressable shards slice-by-slice.
+    n_shards = 0
+    for name in ("node_type", "params", "noise_z", "log_weights", "lml",
+                 "parents"):
+        arr = getattr(shd.particles, name)
+        ref_np = np.asarray(getattr(ref.particles, name))
+        for shard in arr.addressable_shards:
+            got = np.asarray(shard.data)
+            want = ref_np[shard.index]
+            np.testing.assert_array_equal(got, want, err_msg=name)
+            n_shards += 1
+    assert n_shards >= 6 * n_local // 2, n_shards
+    print(f"[worker {pid}] OK: {n_shards} shards bit-identical to the "
+          "unsharded reference", flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

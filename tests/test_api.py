@@ -118,6 +118,40 @@ def test_predict_proba():
                                    mvn.components[i].logpdf(yq), rtol=1e-9)
 
 
+def test_predict_quantile_matches_full_cov_path():
+    """The O(p) marginal-summary quantile path equals bisecting the full
+    predict_mvn mixture (the pre-r4 implementation)."""
+    m, ds, y = make_model(n_particles=3)
+    ds_pred = np.linspace(-8, 14, 11)
+    x_new, ok_new = autogp_tpu.predict_quantile(m, ds_pred, 0.6)
+    mvn = autogp_tpu.predict_mvn(m, ds_pred)
+    x_old, ok_old = mvn.quantile(0.6)
+    assert ok_new and ok_old
+    np.testing.assert_allclose(x_new, x_old, atol=1e-4)
+
+
+def test_train_factor_cache():
+    """The posterior train factor is computed once per model state: reused
+    across predict calls, invalidated by any particle reassignment
+    (fit/resample/streaming), and never stale."""
+    m, ds, y = make_model(n=30, n_particles=2)
+    assert m._train_factor_cache is None
+    df0 = autogp_tpu.predict(m, np.linspace(0, 12, 5))
+    f0 = m._train_factor_cache
+    assert f0 is not None
+    autogp_tpu.predict(m, np.linspace(0, 12, 5))
+    assert m._train_factor_cache is f0  # reused, not recomputed
+    # Streaming update reassigns particles -> invalidated, not stale.
+    autogp_tpu.add_data(m, np.array([11.0]), np.array([0.4]))
+    assert m._train_factor_cache is None
+    df1 = autogp_tpu.predict(m, np.linspace(0, 12, 5))
+    assert not np.allclose(df0["y_mean"], df1["y_mean"])
+    # Post-change summary path still equals the full-cov oracle.
+    mvn = autogp_tpu.predict_mvn(m, np.linspace(0, 12, 5))
+    got = df1[df1.particle == 1]["y_mean"].to_numpy()
+    np.testing.assert_allclose(got, mvn.components[0].mean, rtol=1e-7)
+
+
 def test_add_remove_data_reweights():
     m, ds, y = make_model(n=30)
     lml0 = np.asarray(m.particles.lml)
@@ -358,6 +392,41 @@ def test_fit_greedy_smoke():
     # A near-linear series should get a Linear component.
     k = m.covariance_kernels(reparameterize=False)[0]
     assert any(isinstance(l, GP.Linear) for l in GP.unroll(k))
+
+
+def test_fit_greedy_mcmc():
+    """Hybrid greedy/MCMC chain (Greedy.jl:59-130): AIC-monotone
+    acceptance, improvement on a seeded workload, n_parallel>=1."""
+    rng = np.random.default_rng(7)
+    n = 32
+    ds = np.linspace(0, 1, n)
+    y = np.sin(2 * np.pi * 3 * ds) + 0.05 * rng.standard_normal(n)
+    cfg = GPConfig(max_depth=3, changepoints=False)
+    autogp_tpu.seed(3)
+    m = autogp_tpu.GPModel(ds, y, n_particles=1, config=cfg)
+    with pytest.raises(ValueError):
+        autogp_tpu.fit_greedy_mcmc(
+            autogp_tpu.GPModel(ds, y, n_particles=2, config=cfg), n_mcmc=1)
+    with pytest.raises(ValueError):
+        autogp_tpu.fit_greedy_mcmc(
+            autogp_tpu.GPModel(ds, y, n_particles=1,
+                               config=GPConfig(max_depth=3)), n_mcmc=1)
+    steps = []
+    autogp_tpu.fit_greedy_mcmc(
+        m, n_mcmc=6, n_parallel=2, check=True,
+        callback_fn=lambda **kw: steps.append((kw["step"], kw["aic"],
+                                               kw["accepted"])))
+    assert [s[0] for s in steps] == list(range(1, 7))
+    aics = [s[1] for s in steps]
+    # AIC non-increasing along the chain; strictly lower on accepted steps.
+    assert all(a2 <= a1 for a1, a2 in zip(aics, aics[1:]))
+    for (_, a1, _), (_, a2, acc) in zip(steps, steps[1:]):
+        if acc:
+            assert a2 < a1
+    assert any(s[2] for s in steps), "no step accepted on seeded workload"
+    assert np.isfinite(aics[-1])
+    # The model particle carries the final chain state (finite LML).
+    assert np.isfinite(np.asarray(m.particles.lml)).all()
 
 
 def test_fit_mcmc_and_mcmc_parameters():

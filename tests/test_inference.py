@@ -341,3 +341,56 @@ def test_smc_anneal_depth_prior_oracle():
         got = float(w[keys_got == sk].sum())
         tol = 5.0 * np.sqrt(pw * (1 - pw) / ess) + 0.02
         assert abs(got - pw) < tol, (sk, got, pw, tol)
+
+
+def test_smc_anneal_depth_posterior_oracle():
+    """DATA-dependent oracle for the depth-extension weight: the
+    depth-annealed ensemble's structure posterior must match the
+    data-annealed SMC posterior on the same observations (both target
+    p(structure | data) at max_depth=2). This is the only validation the
+    extension weight's leaf_cap-scored old-config density
+    (smc_depth.attach_extend_step, inference_smc_anneal_depth.jl:17-91)
+    gets with data in the target: a wrong leaf_cap prior ratio or
+    proposal density would bias these frequencies relative to the
+    independently-validated data-annealing engine."""
+    from autogp_tpu.inference import smc_depth
+
+    rng = np.random.default_rng(3)
+    n = 12
+    ts = np.linspace(0.0, 1.0, n)
+    xs = 0.6 * np.sin(2 * np.pi * 2 * ts) + 0.3 * rng.standard_normal(n)
+    P = 1024
+    hc = hmc_mod.HMCConfig(L_param=3, L_noise=3, n_exit=1)
+
+    def structure_freqs(parts):
+        nts = np.asarray(parts.node_type)
+        w = np.asarray(smc.normalized_weights(parts.log_weights))
+        keys = nts[:, 0] * 100 + nts[:, 1] * 10 + nts[:, 2]
+        return keys, w, float(smc.effective_sample_size(parts.log_weights))
+
+    # Depth-annealed: depth 1 -> 2 with the data in the target throughout.
+    parts_d, cfg = smc_depth.run_smc_anneal_depth(
+        jax.random.PRNGKey(5), ts, xs, schedule=[1, 2], n_particles=P,
+        n_mcmc=3, n_hmc=2, noise=0.1, hmc_cfg=hc)
+    assert cfg.max_depth == 2
+    keys_d, w_d, ess_d = structure_freqs(parts_d)
+
+    # Data-annealed reference on the same data and final config.
+    cfg2 = C.GPConfig(max_depth=2, noise=0.1)
+    parts_a = smc.run_smc_anneal_data(
+        jax.random.PRNGKey(9), ts, xs, cfg2, model.prior_tables(cfg2),
+        n_particles=P, schedule=[4, 8, n], n_mcmc=3, n_hmc=2, hmc_cfg=hc)
+    keys_a, w_a, ess_a = structure_freqs(parts_a)
+
+    assert ess_d > 40 and ess_a > 40, (ess_d, ess_a)
+    all_keys = sorted(set(keys_d.tolist()) | set(keys_a.tolist()))
+    l1 = 0.0
+    for sk in all_keys:
+        pd_ = float(w_d[keys_d == sk].sum())
+        pa_ = float(w_a[keys_a == sk].sum())
+        se = (np.sqrt(max(pd_, pa_) * (1 - min(pd_, pa_)))
+              * (1 / np.sqrt(ess_d) + 1 / np.sqrt(ess_a)))
+        assert abs(pd_ - pa_) < 5.0 * se + 0.03, (sk, pd_, pa_, se)
+        l1 += abs(pd_ - pa_)
+    # Aggregate agreement: total variation between the two posteriors.
+    assert l1 / 2 < 0.15, l1

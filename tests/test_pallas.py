@@ -19,6 +19,20 @@ CFG = GPConfig(static_max_depth=4)
 TAB = model.prior_tables(CFG)
 
 
+@pytest.fixture(autouse=True)
+def _no_persistent_cache():
+    """interpret=True pallas_call lowers to a host-callback CustomCall;
+    (de)serializing such an executable through the persistent compile
+    cache SEGFAULTS inside XLA:CPU (both full-suite crashes this round
+    and last landed in compilation_cache.put/get_executable_and_time on
+    exactly these programs). Interpret-mode programs are cheap to compile
+    — just keep them out of the cache."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 def cases():
     return [
         K.Linear(0.1, 1.3, 0.7),

@@ -5,6 +5,8 @@ inserted by XLA from sharding annotations. A sharded SMC round must
 produce the same results as the unsharded program (same keys).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,6 +94,45 @@ def test_multihost_skeleton():
                            adaptive_rejuvenation=False)
     out, _ = fn(jax.random.PRNGKey(7), parts, data)
     assert np.isfinite(np.asarray(out.log_weights)).all()
+
+
+def test_multihost_two_process():
+    """REAL multi-process execution (SURVEY §5.8): two jax.distributed
+    processes on localhost, 4 virtual CPU devices each, drive
+    api.fit_smc over the global 8-device mesh — resampling collectives
+    cross the process boundary — and each process asserts its addressable
+    shards are bit-identical to the unsharded single-device reference
+    (tests/multihost_worker.py)."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            ["python", worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert "OK" in out
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

@@ -251,7 +251,7 @@ def test_kinv_beta_fused_vs_chain_and_f64(spd_batch):
             <= np.abs(np.tril(kc) - np.tril(Kinv64)).max() * 1.5)
     # lower-only contract: strictly-upper BLOCKS are zero (diagonal
     # blocks stay dense-symmetric, like kinv_from_linv(lower_only=True)).
-    assert np.abs(np.triu(kf, 128)).max() == 0.0
+    assert np.abs(np.triu(kf, kinv_pallas.BLOCK)).max() == 0.0
     # beta = L^-T alpha (callers pass alpha = L^-1 (xs*mask)).
     beta64 = np.stack([np.linalg.inv(L32p[i]).T @ np.asarray(x[i],
                                                              np.float64)
