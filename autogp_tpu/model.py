@@ -332,8 +332,9 @@ def lml_value_and_noise_grad_from_K0(K0, noise_z, xs, mask,
     Km = K0 + (noise * mask) * eye
     # Fused factor+solve for the VALUE (same algorithm as model.lml's
     # primal); the gradient stats (beta, ||L^-1||_F^2) come from the
-    # fused kinv_pallas.linv_stats kernel at precision=HIGHEST — only
-    # its diagonal-block inverses run at gp_math.GRAD_PRECISION.
+    # fused kinv_pallas.linv_stats kernel, whose contractions run at the
+    # GRAD_PRECISION class (in-kernel bf16x3; gradient-only per
+    # gp_math.py:36-53).
     from autogp_tpu.ops import chol_pallas, kinv_pallas
     L, alpha = chol_pallas.chol_solve_psd(Km, xs * mask)
     beta, fro2 = kinv_pallas.linv_stats(L, alpha)

@@ -33,10 +33,18 @@ dense-symmetric, matching gp_math.kinv_from_linv(lower_only=True)): the
 only consumer is the symmetric backward tape sweep, which never reads
 above the diagonal.
 
-In-kernel contractions run at HIGHEST (Mosaic rejects HIGH; HIGHEST is
-strictly more accurate than the XLA fallback chain's GRAD_PRECISION and
-the dots are a small fraction of this kernel's cost). This path feeds
-only gradient cotangents, never an LML value (see gp_math.py:36-53).
+In-kernel contractions run at the GRAD_PRECISION class (gp_math.py:36-53:
+this path feeds only gradient cotangents, never an LML value). Mosaic
+rejects Precision.HIGH, so the 3-pass bf16 decomposition XLA uses for
+HIGH is emulated manually (`_dot3`: a_hi b_hi + a_hi b_lo + a_lo b_hi,
+f32 accumulation) — half the MXU passes of HIGHEST, and precision-
+CONSISTENT with the `_chain_one` XLA fallback, which has always run at
+GRAD_PRECISION. Measured on v5e [64,1024,1024]: grad-LML batch 12.98 ms
+at HIGHEST -> 11.50 ms at bf16x3; worst-case K^-1 error on an ill-
+conditioned gram stays in the documented GRAD_PRECISION class
+(tests/test_tpu_kernels.py::test_kinv_beta_fused_vs_chain_and_f64 pins
+both modes, test_grad_precision_bwd_chain_error_bound pins the class).
+`fast=False` restores HIGHEST for value-adjacent uses.
 
 Reference workload: HMC leapfrog gradients,
 /root/reference/src/inference_smc_anneal_data.jl:63-68.
@@ -63,7 +71,8 @@ def supported(N: int, dtype) -> bool:
 
 
 def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
-            precision, want_sub: bool = True, want_stats: bool = True):
+            precision, want_sub: bool = True, want_stats: bool = True,
+            fast: bool = True):
     if want_kinv:
         kinv_ref, beta_ref, fro_ref, V = rest
     else:
@@ -72,10 +81,27 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
     N = nb * B
     dt = V.dtype
 
-    def dot(a, b, dims):
+    def dot_hi(a, b, dims):
         return jax.lax.dot_general(a, b, (dims, ((), ())),
                                    preferred_element_type=dt,
                                    precision=precision)
+
+    def dot(a, b, dims):
+        # GRAD_PRECISION-class contraction: manual 3-pass bf16
+        # decomposition (XLA's Precision.HIGH, which Mosaic rejects).
+        # The dropped a_lo*b_lo term is below f32 rounding.
+        if not fast:
+            return dot_hi(a, b, dims)
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(dt)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(dt)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(x, y, (dims, ((), ())),
+                                       preferred_element_type=dt)
+
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
     # --- Linv into V (right-looking block forward substitution) ---------
     # Row-block k's running sums S_kj = sum_{j<=m<k} L[k,m] Linv[m,j]
@@ -105,8 +131,9 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
         for j in range(nb):
             c0, c1 = j * B, (j + 1) * B
             Vj = V[c0:N, c0:c1]
-            beta_ref[0, 0:1, c0:c1] = dot(al_ref[0, c0:N, :], Vj,
-                                          ((0,), (0,)))
+            # matvec: negligible MXU cost, keep the full-precision passes
+            beta_ref[0, 0:1, c0:c1] = dot_hi(al_ref[0, c0:N, :], Vj,
+                                             ((0,), (0,)))
             fro = fro + jnp.sum(Vj * Vj)
         fro_ref[0, 0, 0] = fro
     else:  # profiling variant: keep outputs defined
@@ -117,6 +144,10 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
     # Row-block bi contracts rows >= bi*B (Linv is lower triangular);
     # strictly-upper output blocks are zero-filled (the out buffer is
     # uninitialized pipeline scratch).
+    # (A variant that pre-split V once into persistent bf16 hi/lo VMEM
+    # scratch to de-duplicate the per-block-row splits measured WORSE
+    # end-to-end: grad-LML 12.23 vs 11.50 ms — the +4 MB scratch costs
+    # more pipeline overlap than the split reuse saves.)
     if want_kinv:
         for bi in range(nb):
             r0 = bi * B
@@ -128,7 +159,8 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
 
 
 def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
-            want_sub: bool = True, want_stats: bool = True):
+            want_sub: bool = True, want_stats: bool = True,
+            fast: bool = True):
     from autogp_tpu import gp_math
     P, N, _ = L.shape
     nb = N // BLOCK
@@ -140,7 +172,8 @@ def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
                                  precision=gp_math.GRAD_PRECISION)
     kernel = functools.partial(_kernel, nb=nb, want_kinv=want_kinv,
                                precision=jax.lax.Precision.HIGHEST,
-                               want_sub=want_sub, want_stats=want_stats)
+                               want_sub=want_sub, want_stats=want_stats,
+                               fast=fast)
     in_specs = [
         pl.BlockSpec((1, nb, BLOCK, BLOCK), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -205,8 +238,11 @@ def kinv_beta(L, alpha):
 
     Callers pass alpha = L^-1 (xs*mask), so beta = K^-1 xs. Under vmap on
     TPU float32 (N a multiple of 128, N <= 1024) the whole batch runs the
-    fused VMEM-resident kernel; otherwise the XLA blocked chain. NOT
-    reverse-mode differentiable — custom_vjp backward rules only.
+    fused VMEM-resident kernel; otherwise the XLA blocked chain. Both
+    paths run their contractions at the GRAD_PRECISION class (the kernel
+    via the manual bf16x3 decomposition, the chain via Precision.HIGH) —
+    gradient-cotangent use only, per gp_math.py:36-53. NOT reverse-mode
+    differentiable — custom_vjp backward rules only.
     """
     return _chain_one(L, alpha)
 

@@ -30,8 +30,8 @@ def record(config, tpu_s, cpu_s, unit, note="", wall_s=None):
     (apples-to-apples for deployment shapes where dispatch latency is part
     of real latency — e.g. config 1a's batch-1 online forecasting)."""
     RESULTS.append((config, tpu_s, cpu_s, unit, note, wall_s))
-    wall = "" if wall_s is None else f" wall={wall_s:.3f}"
-    log(f"[{config}] tpu={tpu_s:.3f}{wall} cpu={cpu_s:.3f} {unit} "
+    wall = "" if wall_s is None else f" wall={wall_s:.4g}"
+    log(f"[{config}] tpu={tpu_s:.4g}{wall} cpu={cpu_s:.4g} {unit} "
         f"({cpu_s / tpu_s:.1f}x) {note}")
 
 
@@ -76,18 +76,73 @@ def config1():
         cov = Kpp - Kxp.T @ cho_solve((c, lo), Kxp) + noise * np.eye(NP)
         q = norm.ppf([0.025, 0.975], loc=mu[:, None],
                      scale=np.sqrt(np.diag(cov))[:, None])
-        return lml, q
+        return lml, mu, q
 
     for _ in range(2):
         cpu_once()
     t0 = time.time()
     R = 20
     for _ in range(R):
-        lml_cpu, _ = cpu_once()
+        lml_cpu, mu_cpu, q_cpu = cpu_once()
     cpu_s = (time.time() - t0) / R
 
-    # TPU path (jit; tensor trace)
+    # TPU 1a (r4): the PUBLIC predict path with the model's cached
+    # training factor — the deployment shape (the online driver predicts
+    # at every step against unchanged data; any particle/data change
+    # invalidates the cache). The CPU reference-equivalent re-factors on
+    # every call, exactly as the Julia reference does (GP.jl:731-758 has
+    # no factor cache). Warm call (factor + compile) excluded.
+    import autogp_tpu
+    from scipy.optimize import brentq
+    from autogp_tpu import api as A
+    from autogp_tpu import transforms as TR
+
     cfg = GPConfig(max_depth=3)
+    autogp_tpu.seed(5)
+    m0 = autogp_tpu.GPModel(ts, xs, n_particles=1, config=cfg)
+    # identity transforms so model space == the CPU path's original space
+    m0.ds_transform = TR.LinearTransform(1.0, 0.0)
+    m0.y_transform = TR.LinearTransform(1.0, 0.0)
+    nz = brentq(lambda z: float(M.transform_noise(
+        jnp.asarray(z), cfg)) - noise, -20.0, 20.0)
+    m0.particles = m0.particles._replace(
+        noise_z=jnp.full_like(m0.particles.noise_z, nz))
+    m = autogp_tpu.gp_model_from_kernels(m0, [node])
+    df = autogp_tpu.predict(m, tsp, quantiles=(0.025, 0.975))  # warm
+    # parity vs the CPU float64 quantiles (f32 joint-Cholesky posterior)
+    mu_err = np.abs(df["y_mean"].to_numpy() - mu_cpu).max()
+    q_err = max(np.abs(df["y_0.025"].to_numpy() - q_cpu[:, 0]).max(),
+                np.abs(df["y_0.975"].to_numpy() - q_cpu[:, 1]).max())
+    scale = float(np.abs(q_cpu).max())
+    assert mu_err < 2e-3 * scale and q_err < 5e-3 * scale, \
+        (mu_err, q_err, scale)
+    t0 = time.time()
+    for _ in range(R):
+        df = autogp_tpu.predict(m, tsp, quantiles=(0.025, 0.975))
+    tpu_wall = (time.time() - t0) / R
+    # Device time of the per-call device work (the marginal-summary
+    # program consuming the cached factor), loop-differenced: wall-clock
+    # through the axon relay is floored by the ~3 ms/dispatch round trip —
+    # an artifact of this tunnel, not of the TPU (a colocated host
+    # dispatches in ~0.1 ms). Both are first-class (ADVICE r3).
+    from scripts.tpu_timer import device_time
+    data = m._dataset()
+    L, alpha = m._train_factor()
+    fn = A._posterior_summary_jit(m.config, False)
+    tspj = jnp.asarray(m._ds_numeric(tsp), m.dtype)
+    ttab = jnp.asarray(np.asarray(m.tables.ttable), m.dtype)
+    p = m.particles
+    np0 = jnp.asarray(0.0, m.dtype)
+    tpu_s = device_time(lambda eps: fn(
+        p.node_type, p.params, p.noise_z, L, alpha, data.ts, data.mask,
+        tspj + eps, np0, ttab))
+    record("1a. fixed-kernel LML+quantiles N=200, batch 1 "
+           "(cached-factor predict)", tpu_s, cpu_s, "s/eval",
+           f"mu/q parity {mu_err:.1e}/{q_err:.1e}; public predict() incl "
+           "host quantiles", wall_s=tpu_wall)
+
+    # 1b: the batch shape — P particles' full posterior evaluated at once
+    # (cov build + LML + posterior, nothing cached).
     tables = M.prior_tables(cfg)
     nt, pz = T.node_to_tensor(node, cfg)
     nt, pz = jnp.asarray(nt), jnp.asarray(pz)
@@ -109,23 +164,6 @@ def config1():
     # f32 LML error scales with its O(N) components (logdet/quad ~ 1e2),
     # not with the (near-cancelling) total.
     assert abs(lml_tpu - lml_cpu) < 1e-4 * N, (lml_tpu, lml_cpu)
-    t0 = time.time()
-    for _ in range(R):
-        out = tpu_once(pt)
-    jax_block(out)
-    tpu_wall = (time.time() - t0) / R
-    # Wall-clock through the axon relay is floored by the ~3 ms/dispatch
-    # relay round trip — an artifact of this tunnel, not of the TPU (a
-    # colocated host dispatches in ~0.1 ms). Report the true device time
-    # (loop-differenced, BENCH.md methodology) with the relay wall-clock
-    # as a note.
-    from scripts.tpu_timer import device_time
-    tpu_s = device_time(lambda eps: tpu_once(pt + eps))
-    record("1a. fixed-kernel LML+quantiles N=200, batch 1", tpu_s, cpu_s,
-           "s/eval", f"LML abs diff {abs(lml_tpu - lml_cpu):.1e}; "
-           "batch-1 is the TPU's worst regime", wall_s=tpu_wall)
-
-    # 1b: the deployment shape — a particle batch evaluated at once.
     P = 64
     pts = jnp.broadcast_to(pt, (P,) + pt.shape)
     tpu_batch = jax.jit(jax.vmap(tpu_once))
@@ -136,8 +174,8 @@ def config1():
         out = tpu_batch(pts)
     jax_block(out)
     tpu_b = (time.time() - t0) / R / P
-    record(f"1b. same, vmapped batch of {P} (per-eval)", tpu_b, cpu_s,
-           "s/eval", "")
+    record(f"1b. same, vmapped batch of {P} (per-eval, uncached)", tpu_b,
+           cpu_s, "s/eval", "")
 
 
 def config2():
@@ -406,10 +444,10 @@ def main():
     print("|---|---|---|---|")
     for cfgname, tpu_s, cpu_s, unit, note, wall_s in RESULTS:
         sp = "" if not np.isfinite(cpu_s) else f"{cpu_s / tpu_s:.0f}x"
-        tpu_cell = f"{tpu_s:.3f} {unit}"
+        tpu_cell = f"{tpu_s:.4g} {unit}"
         if wall_s is not None:
-            tpu_cell += f" (device; wall {wall_s:.3f} {unit})"
-        print(f"| {cfgname} | {tpu_cell} | {cpu_s:.3f} {unit} "
+            tpu_cell += f" (device; wall {wall_s:.4g} {unit})"
+        print(f"| {cfgname} | {tpu_cell} | {cpu_s:.4g} {unit} "
               f"| {sp} {note} |")
 
 

@@ -266,7 +266,10 @@ def test_kinv_pallas_kernel_interpret():
     L = jnp.asarray(np.linalg.cholesky(K64), jnp.float32)
     x = jnp.asarray(rng.standard_normal((P, N)), jnp.float32)
 
-    kf, bf, ff = kinv_pallas._launch(L, x, want_kinv=True, interpret=True)
+    # fast=False isolates the kernel STRUCTURE (full-precision passes):
+    # substitution/block-row algebra must match the chain to f32 accuracy.
+    kf, bf, ff = kinv_pallas._launch(L, x, want_kinv=True, interpret=True,
+                                     fast=False)
     kc, bc, fc = jax.vmap(kinv_pallas._chain_one)(L, x)
     kf, bf, ff, kc, bc, fc = (np.asarray(a, np.float64)
                               for a in (kf, bf, ff, kc, bc, fc))
@@ -277,8 +280,21 @@ def test_kinv_pallas_kernel_interpret():
     np.testing.assert_allclose(bf, bc, rtol=1e-4,
                                atol=1e-5 * np.abs(bc).max())
     np.testing.assert_allclose(ff, fc, rtol=1e-4)
-    # stats-only variant
+    # production mode (fast=True, bf16x3): GRAD_PRECISION-class bound vs
+    # the chain (different 3-pass split points, errors don't cancel).
+    kf3, bf3, ff3 = kinv_pallas._launch(L, x, want_kinv=True,
+                                        interpret=True)
+    assert np.abs(np.tril(np.asarray(kf3, np.float64))
+                  - np.tril(kc)).max() / scale < 5e-4
+    assert np.abs(np.triu(np.asarray(kf3), kinv_pallas.BLOCK)).max() == 0.0
+    np.testing.assert_allclose(np.asarray(bf3, np.float64), bc, rtol=5e-4,
+                               atol=5e-4 * np.abs(bc).max())
+    np.testing.assert_allclose(np.asarray(ff3, np.float64), fc, rtol=1e-3)
+    # stats-only variant agrees bit-for-bit with the kinv variant's stats
+    # (same in-kernel code path for V/beta/fro).
     bs, fs = kinv_pallas._launch(L, x, want_kinv=False, interpret=True)
-    np.testing.assert_allclose(np.asarray(bs, np.float64), bf, rtol=1e-6,
+    np.testing.assert_allclose(np.asarray(bs, np.float64),
+                               np.asarray(bf3, np.float64), rtol=1e-6,
                                atol=1e-7 * np.abs(bc).max())
-    np.testing.assert_allclose(np.asarray(fs, np.float64), ff, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fs, np.float64),
+                               np.asarray(ff3, np.float64), rtol=1e-6)

@@ -146,8 +146,9 @@ def test_lml_fused_vjp_matches_unfused_tpu():
     chain on hardware, both judged against pinned f64 truth.
 
     The two backwards are DIFFERENT f32 algorithms (fused: Pallas
-    kinv_beta at in-kernel HIGHEST; unfused: XLA blocked chain at
-    GRAD_PRECISION): on ill-conditioned prior draws each deviates from
+    kinv_beta at in-kernel bf16x3; unfused: XLA blocked chain at
+    GRAD_PRECISION — the same 3-pass class, different split points): on
+    ill-conditioned prior draws each deviates from
     the f64 gradient by far more than any fixed path-vs-path tolerance
     (measured: a PD-cliff particle puts BOTH at ~2e-1 relative error vs
     f64). So accuracy is asserted per particle against the f64 golden
@@ -245,10 +246,18 @@ def test_kinv_beta_fused_vs_chain_and_f64(spd_batch):
     L32p = np.float64(np.float32(L64))
     Kinv64 = np.linalg.inv(L32p @ np.swapaxes(L32p, 1, 2))
     scale = np.abs(Kinv64).max()
-    assert np.abs(np.tril(kf) - np.tril(Kinv64)).max() / scale < 1e-5
-    # HIGHEST in-kernel must not be WORSE than the HIGH chain.
-    assert (np.abs(np.tril(kf) - np.tril(Kinv64)).max()
-            <= np.abs(np.tril(kc) - np.tril(Kinv64)).max() * 1.5)
+    # GRAD_PRECISION-class contract: the in-kernel bf16x3 decomposition
+    # must stay in the same error class as the HIGH chain it mirrors
+    # (both are 3-pass bf16; the splits differ, so errors don't cancel).
+    err_f = np.abs(np.tril(kf) - np.tril(Kinv64)).max() / scale
+    err_c = np.abs(np.tril(kc) - np.tril(Kinv64)).max() / scale
+    assert err_f < 3.0 * err_c + 1e-6, (err_f, err_c)
+    assert err_f < 2e-4, err_f  # absolute, on this benign conditioning
+    # fast=False restores full-precision passes and the f32-faithful
+    # bound (value-adjacent escape hatch).
+    khi = np.asarray(jax.jit(lambda L, x: kinv_pallas._launch(
+        L, x, want_kinv=True, fast=False))(L, x)[0], np.float64)
+    assert np.abs(np.tril(khi) - np.tril(Kinv64)).max() / scale < 1e-5
     # lower-only contract: strictly-upper BLOCKS are zero (diagonal
     # blocks stay dense-symmetric, like kinv_from_linv(lower_only=True)).
     assert np.abs(np.triu(kf, kinv_pallas.BLOCK)).max() == 0.0
@@ -257,10 +266,13 @@ def test_kinv_beta_fused_vs_chain_and_f64(spd_batch):
                                                              np.float64)
                        for i in range(len(x))])
     bs = np.abs(beta64).max()
-    assert np.abs(bf - beta64).max() / bs < 1e-5
+    err_bf = np.abs(bf - beta64).max() / bs
+    err_bc = np.abs(bc - beta64).max() / bs
+    assert err_bf < 3.0 * err_bc + 1e-6, (err_bf, err_bc)
+    assert err_bf < 2e-4, err_bf
     fro64 = np.stack([np.sum(np.linalg.inv(L32p[i]) ** 2)
                       for i in range(len(x))])
-    np.testing.assert_allclose(ff, fro64, rtol=1e-4)
+    np.testing.assert_allclose(ff, fro64, rtol=1e-3)
     # stats variant agrees with the kinv variant.
     bsv, fsv = jax.jit(
         lambda L, x: jax.vmap(kinv_pallas.linv_stats)(L, x))(L, x)
