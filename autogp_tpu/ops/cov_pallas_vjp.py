@@ -270,7 +270,7 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
                      par_ref, tsc_ref, tsr_ref, mkc_ref, mkr_ref, kbar_ref,
                      *rest, tile_i: int, tile_j: int, masked: bool,
                      n_acc: int, single_j: bool, fused: bool = False,
-                     sym: bool = False):
+                     sym: bool = False, linv: bool = False):
     """`sym=True` (requires a symmetric cotangent, as in lml_tape_fused's
     0.5*g*(beta beta^T - K^-1)): every dK_ij/dtheta is symmetric in
     (i, j) — all leaf formulas are functions of (t1*t2, |t1-t2|) and the
@@ -278,8 +278,18 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
     gradient sum equals the lower-triangle sum with off-diagonal terms
     doubled. Tiles entirely above the diagonal skip both sweeps
     (~37% of tiles at 128x256/N=1024); diagonal-crossing tiles apply the
-    elementwise weight 2*(row>col) + (row==col)."""
-    if fused:
+    elementwise weight 2*(row>col) + (row==col).
+
+    `linv=True` (requires fused): kbar_ref holds the COLUMN STRIP
+    L^-1[:, i-tile] and vb_ref the strip L^-1[:, j-tile]; the K^-1 tile is
+    formed right here with one MXU contraction over the full column
+    length — exact because L^-1's strict upper triangle is zero
+    (kinv_pallas.linv_beta) — so K^-1 never exists in HBM and the kinv
+    MXU work overlaps this kernel's VPU tree sweeps."""
+    if fused and linv:
+        bc_ref, br_ref, g_ref, vb_ref, pbar_ref, val_ref, adj_ref, \
+            acc_ref = rest
+    elif fused:
         # kbar_ref actually holds K^-1; the cotangent tile
         # Kbar = 0.5*g*(beta beta^T - K^-1) is formed in VMEM here — the
         # [N,N] Kbar array never exists in HBM (one round trip saved).
@@ -363,9 +373,26 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
         acc_ref[:, :] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
     def work():
+        # In linv mode the K^-1 tile's MXU contraction is issued BEFORE
+        # the VPU-bound forward value sweep: its result is not consumed
+        # until after the sweep, so the scheduler can overlap the MXU
+        # passes with the tree evaluation.
+        if fused and linv:
+            from autogp_tpu.ops import kinv_pallas
+            Va = kbar_ref[:, :]                        # [N, tile_i]
+            Vb = vb_ref[:, :]                          # [N, tile_j]
+            if Va.dtype == jnp.float32:
+                kbar = kinv_pallas.dot3(Va, Vb, ((0,), (0,)))
+            else:  # f64 interpret tests: keep full-precision passes
+                kbar = jax.lax.dot_general(
+                    Va, Vb, ((((0,), (0,))), ((), ())),
+                    preferred_element_type=Va.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+
         jax.lax.fori_loop(0, A, fbody, 0)
 
-        kbar = kbar_ref[:, :]
+        if not (fused and linv):
+            kbar = kbar_ref[:, :]
         if fused:
             b1 = bc_ref[:, 0:1]
             b2 = cov_pallas.row_slice(br_ref, j_off, tile_j, single_j)
@@ -510,7 +537,7 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
 def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                     masked: bool, tile: int = None, tile_i: int = None,
                     interpret: bool = False, beta=None, gscale=None,
-                    sym: bool = False):
+                    sym: bool = False, linv: bool = False):
     """Tape-driven gradient launch; returns (params_bar [M,3], noise_bar).
 
     With `beta`/`gscale` given, `kbar` must be K^-1 and the cotangent
@@ -520,6 +547,11 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
     with doubled off-diagonal weights (requires a symmetric cotangent;
     see _bwd_kernel_tape) — with lower_only K^-1 the upper-triangle
     blocks are then never read.
+
+    `linv=True` (requires beta/gscale): `kbar` is L^-1 (full [N,N], zero
+    strict upper — kinv_pallas.linv_beta) and each K^-1 tile is formed
+    in-kernel from two pipelined column strips of it (see
+    _bwd_kernel_tape); K^-1 never exists in HBM.
 
     Default tiles 128x256 measured best at N=1024/P=64/M=31 on v5e
     (4.66 ms vs 6.19 for 64x256, 6.41 for 128x128, 6.17 for 32x512):
@@ -540,9 +572,11 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
     tslot, ttype, tlpos, trpos, tlen = cov_pallas.build_tape(node_type,
                                                              depth_cap)
     fused = beta is not None
+    assert not (linv and not fused)
     kernel = functools.partial(_bwd_kernel_tape, tile_i=tile_i,
                                tile_j=tile, masked=masked, n_acc=n_acc,
-                               single_j=(N == tile), fused=fused, sym=sym)
+                               single_j=(N == tile), fused=fused, sym=sym,
+                               linv=linv)
     smem_i = lambda: pl.BlockSpec((1, M), lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM)
     in_specs = [
@@ -559,10 +593,14 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, N), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        # For sym sweeps, clamp the kbar (K^-1) block index of skipped
-        # fully-upper tiles to the row's last valid j: the block index is
-        # then unchanged from the previous grid step, so Mosaic skips the
-        # re-fetch instead of streaming blocks that are never read.
+        # For sym sweeps, clamp the kbar (K^-1 / L^-1-strip) block index
+        # of skipped fully-upper tiles to the row's last valid j: the
+        # block index is then unchanged from the previous grid step, so
+        # Mosaic skips the re-fetch instead of streaming blocks that are
+        # never read.
+        pl.BlockSpec((N, tile_i), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM)
+        if linv else
         pl.BlockSpec(
             (tile_i, tile),
             (lambda i, j: (i, jnp.minimum(
@@ -588,6 +626,16 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
         inputs += [beta.reshape(N, 1).astype(dt),
                    beta.reshape(1, N).astype(dt),
                    jnp.asarray(gscale, dt).reshape(1, 1)]
+    if linv:
+        # The j-tile strip of L^-1 (the same array as the kbar slot's
+        # i-strip); skipped fully-upper tiles clamp j as above.
+        in_specs += [pl.BlockSpec(
+            (N, tile),
+            (lambda i, j: (0, jnp.minimum(
+                j, (i * tile_i + tile_i - 1) // tile)))
+            if sym else (lambda i, j: (0, j)),
+            memory_space=pltpu.VMEM)]
+        inputs += [kbar.astype(dt)]
     gout = pl.pallas_call(
         kernel,
         grid=(nIi, nI),
@@ -744,15 +792,18 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
 
     def bwd(res, g):
         par, L, alpha = res
-        # Fused VMEM-resident K^-1/beta (ops/kinv_pallas.py) on TPU; the
-        # XLA blocked chain otherwise. The symmetric backward sweep reads
-        # only lower K^-1 blocks, which is exactly what it emits.
+        # L^-1/beta from the VMEM-resident substitution kernel
+        # (ops/kinv_pallas.py) on TPU, the XLA blocked chain otherwise;
+        # each K^-1 tile is then formed INSIDE the tape kernel from two
+        # column strips of L^-1 (linv=True), so the [N,N] K^-1 never
+        # exists in HBM and its MXU contractions overlap the tape
+        # kernel's VPU tree sweeps.
         from autogp_tpu.ops import kinv_pallas
-        Kinv, beta, _ = kinv_pallas.kinv_beta(L, alpha)
-        pbar, nbar = _cov_grads_tape(node_type, par, Kinv, ts, mask,
+        V, beta, _ = kinv_pallas.linv_beta(L, alpha)
+        pbar, nbar = _cov_grads_tape(node_type, par, V, ts, mask,
                                      depth_cap, masked=True,
                                      interpret=interpret, beta=beta,
-                                     gscale=g, sym=True)
+                                     gscale=g, sym=True, linv=True)
         return pbar, nbar
 
     f.defvjp(fwd, bwd)

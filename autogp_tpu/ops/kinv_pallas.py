@@ -72,14 +72,21 @@ def supported(N: int, dtype) -> bool:
 
 def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
             precision, want_sub: bool = True, want_stats: bool = True,
-            fast: bool = True):
+            fast: bool = True, want_v: bool = False):
     if want_kinv:
         kinv_ref, beta_ref, fro_ref, V = rest
+    elif want_v:
+        # Linv itself is the output (the substitution runs directly in the
+        # pipelined out block — no scratch window at all); strictly-upper
+        # blocks are zero-filled below so consumers may contract full
+        # columns (cov_pallas_vjp's in-tape K^-1 tiles rely on it).
+        v_ref, beta_ref, fro_ref = rest
+        V = v_ref.at[0]
     else:
         beta_ref, fro_ref, V = rest
     B = BLOCK
     N = nb * B
-    dt = V.dtype
+    dt = v_ref.dtype if want_v else V.dtype
 
     def dot_hi(a, b, dims):
         return jax.lax.dot_general(a, b, (dims, ((), ())),
@@ -87,21 +94,11 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
                                    precision=precision)
 
     def dot(a, b, dims):
-        # GRAD_PRECISION-class contraction: manual 3-pass bf16
-        # decomposition (XLA's Precision.HIGH, which Mosaic rejects).
-        # The dropped a_lo*b_lo term is below f32 rounding.
+        # GRAD_PRECISION-class contraction (see dot3); fast=False keeps
+        # the full-precision passes for value-adjacent uses.
         if not fast:
             return dot_hi(a, b, dims)
-        ah = a.astype(jnp.bfloat16)
-        al = (a - ah.astype(dt)).astype(jnp.bfloat16)
-        bh = b.astype(jnp.bfloat16)
-        bl = (b - bh.astype(dt)).astype(jnp.bfloat16)
-
-        def d(x, y):
-            return jax.lax.dot_general(x, y, (dims, ((), ())),
-                                       preferred_element_type=dt)
-
-        return d(ah, bh) + (d(ah, bl) + d(al, bh))
+        return dot3(a, b, dims)
 
     # --- Linv into V (right-looking block forward substitution) ---------
     # Row-block k's running sums S_kj = sum_{j<=m<k} L[k,m] Linv[m,j]
@@ -121,6 +118,15 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
             if k > 0:
                 V[r1:N, 0:r0] = V[r1:N, 0:r0] + upd[:, 0:r0]
             V[r1:N, r0:r1] = upd[:, r0:r1]
+
+    # Strictly-upper blocks: zero-filled when V is an output (the out
+    # buffer is uninitialized pipeline scratch; junk there would poison
+    # the consumer's full-column contractions). The in-block uppers are
+    # already exact zeros (wd comes from tri_inv_blocked).
+    if want_v:
+        for k in range(nb - 1):
+            r0, r1 = k * B, (k + 1) * B
+            V[r0:r1, r1:N] = jnp.zeros((B, N - r1), dt)
 
     # --- beta = Linv^T alpha and the Frobenius reduction -----------------
     # Rows above the diagonal of each column-block are stale scratch from
@@ -160,7 +166,7 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
 
 def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
             want_sub: bool = True, want_stats: bool = True,
-            fast: bool = True):
+            fast: bool = True, want_v: bool = False):
     from autogp_tpu import gp_math
     P, N, _ = L.shape
     nb = N // BLOCK
@@ -173,7 +179,7 @@ def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
     kernel = functools.partial(_kernel, nb=nb, want_kinv=want_kinv,
                                precision=jax.lax.Precision.HIGHEST,
                                want_sub=want_sub, want_stats=want_stats,
-                               fast=fast)
+                               fast=fast, want_v=want_v)
     in_specs = [
         pl.BlockSpec((1, nb, BLOCK, BLOCK), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -188,7 +194,7 @@ def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                               memory_space=pltpu.SMEM)]
-    if want_kinv:
+    if want_kinv or want_v:
         out_shape = [jax.ShapeDtypeStruct((P, N, N), dt)] + out_shape
         out_specs = [pl.BlockSpec((1, N, N), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)] + out_specs
@@ -198,7 +204,7 @@ def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((N, N), dt)],
+        scratch_shapes=[] if want_v else [pltpu.VMEM((N, N), dt)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2 ** 20),
@@ -207,11 +213,30 @@ def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
             bytes_accessed=P * N * N * 4 * (2 if want_kinv else 1),
             transcendentals=0),
     )(Wd, alpha[:, :, None], L)
-    if want_kinv:
-        kinv, beta, fro = outs
-        return kinv, beta[:, 0, :], fro[:, 0, 0]
+    if want_kinv or want_v:
+        mat, beta, fro = outs
+        return mat, beta[:, 0, :], fro[:, 0, 0]
     beta, fro = outs
     return beta[:, 0, :], fro[:, 0, 0]
+
+
+def dot3(a, b, dims):
+    """GRAD_PRECISION-class in-kernel contraction: the manual 3-pass bf16
+    decomposition of XLA's Precision.HIGH (which Mosaic rejects) —
+    a_hi b_hi + a_hi b_lo + a_lo b_hi with f32 accumulation; the dropped
+    a_lo b_lo term is below f32 rounding. Shared by this kernel and the
+    in-tape K^-1 tile formation (cov_pallas_vjp)."""
+    dt = a.dtype
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(dt)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(dt)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, (dims, ((), ())),
+                                   preferred_element_type=dt)
+
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
 def _chain_one(L, alpha):
@@ -280,3 +305,39 @@ def _linv_stats_vmap(axis_size, in_batched, L, alpha):
             and backend.use_pallas():
         return _launch(L, alpha, want_kinv=False), (True, True)
     return jax.vmap(_stats_one)(L, alpha), (True, True)
+
+
+def _linv_one(L, alpha):
+    from autogp_tpu import gp_math
+    Linv = gp_math.tri_inv_blocked(L, precision=gp_math.GRAD_PRECISION)
+    beta = jnp.matmul(Linv.T, alpha, precision=gp_math.GRAD_PRECISION)
+    return Linv, beta, jnp.sum(Linv * Linv)
+
+
+@jax.custom_batching.custom_vmap
+def linv_beta(L, alpha):
+    """(L^-1 [N,N] with exact-zero strict upper, beta = L^-T alpha,
+    ||L^-1||_F^2).
+
+    The backend of lml_tape_fused's in-tape K^-1 formation: the tape
+    gradient kernel contracts full columns of L^-1 to form each K^-1
+    tile in VMEM (the lower-triangular zero pattern makes the full-length
+    contraction exact), so K^-1 never exists in HBM and the kinv MXU
+    work overlaps the tape kernel's VPU sweeps. NOT reverse-mode
+    differentiable — custom_vjp backward rules only."""
+    return _linv_one(L, alpha)
+
+
+@linv_beta.def_vmap
+def _linv_beta_vmap(axis_size, in_batched, L, alpha):
+    from autogp_tpu import backend
+    lb, ab = in_batched
+    if not (lb and ab):
+        L = L if lb else jnp.broadcast_to(L, (axis_size,) + L.shape)
+        alpha = alpha if ab else jnp.broadcast_to(
+            alpha, (axis_size,) + alpha.shape)
+    if L.ndim == 3 and supported(L.shape[-1], L.dtype) \
+            and backend.use_pallas():
+        return _launch(L, alpha, want_kinv=False, want_v=True), \
+            (True, True, True)
+    return jax.vmap(_linv_one)(L, alpha), (True, True, True)

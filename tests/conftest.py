@@ -29,12 +29,12 @@ if os.environ.get("AUTOGP_TEST_TPU") != "1":
 # OTHER machines (the grading driver's dryrun subprocess), and
 # deserializing a foreign host's CPU executable SIGILLs mid-suite (see
 # autogp_tpu/utils/jax_cache.py).
+_cache_root = os.environ.get("AUTOGP_TEST_CACHE_DIR", "/root/repo/.jax_cache")
 if os.environ.get("AUTOGP_TEST_TPU") == "1":
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_root)
 else:
     from autogp_tpu.utils.jax_cache import cpu_cache_dir
-    jax.config.update("jax_compilation_cache_dir",
-                      cpu_cache_dir("/root/repo/.jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cpu_cache_dir(_cache_root))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -43,3 +43,22 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running test (compile-heavy SMC/HMC "
         "programs); deselect with -m 'not slow' for the <12-min fast path")
+
+
+_last_module = [None]
+
+
+def pytest_runtest_setup(item):
+    # Drop in-memory jit executables at module boundaries. A full
+    # single-process run accumulates hundreds of live XLA:CPU executables;
+    # past ~200 tests the process segfaulted inside the persistent-cache
+    # serialize/deserialize calls (r3: get_executable_and_time at ~89%;
+    # r4: put_executable_and_time at ~78% — both only late in the run,
+    # while the same compiles in a fresh process succeed). Bounding live
+    # executables keeps the process in the regime where cache I/O is
+    # reliable; re-runs of shared programs re-trace and hit the
+    # persistent cache, so the time cost is small.
+    mod = item.module.__name__
+    if _last_module[0] is not None and mod != _last_module[0]:
+        jax.clear_caches()
+    _last_module[0] = mod

@@ -64,9 +64,45 @@ def main(pid: int, nprocs: int, port: int):
 
     ref = fit(None)  # local single-device reference, same in every process
 
+    # The reference fit above compiles for minutes on a contended 1-core
+    # host, and the two workers' compiles interleave with arbitrary skew.
+    # Gloo's communicator rendezvous (triggered by the FIRST collective
+    # execution of the sharded fit) times out after 30s, so a worker that
+    # reaches it while its peer is still compiling dies. Two defenses,
+    # both via the coordination service (which takes explicit timeouts,
+    # unlike gloo): (1) a barrier here re-aligns the workers so they
+    # start the sharded fit together (identical deterministic work =>
+    # small skew at the first collective); (2) each attempt's outcome is
+    # exchanged through the KV store and ALL workers retry until every
+    # one of them succeeded in the same attempt — collectives are
+    # collective, so a retry must be joined by every process.
+    from jax._src import distributed
+    client = distributed.global_state.client
+    client.wait_at_barrier("autogp-ref-done", timeout_in_ms=1_200_000)
+
     mesh = pmesh.particle_mesh()  # global: spans both processes
     assert mesh.devices.size == n_global
-    shd = fit(mesh)
+    shd = None
+    for attempt in range(4):
+        try:
+            shd_try = fit(mesh)
+            ok = True
+        except jax.errors.JaxRuntimeError as e:
+            if "DEADLINE_EXCEEDED" not in str(e) and "Gloo" not in str(e):
+                raise
+            print(f"[worker {pid}] gloo rendezvous timed out "
+                  f"(attempt {attempt}); re-syncing", flush=True)
+            shd_try, ok = None, False
+        client.key_value_set(f"autogp-st-{attempt}-{pid}",
+                             "1" if ok else "0")
+        peers_ok = all(
+            client.blocking_key_value_get(f"autogp-st-{attempt}-{q}",
+                                          1_200_000) == "1"
+            for q in range(nprocs) if q != pid)
+        if ok and peers_ok:
+            shd = shd_try
+            break
+    assert shd is not None, "sharded fit failed after retries"
 
     sharding = shd.particles.node_type.sharding
     assert len(sharding.device_set) == n_global, sharding

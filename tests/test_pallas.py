@@ -298,3 +298,20 @@ def test_kinv_pallas_kernel_interpret():
                                atol=1e-7 * np.abs(bc).max())
     np.testing.assert_allclose(np.asarray(fs, np.float64),
                                np.asarray(ff3, np.float64), rtol=1e-6)
+    # want_v (linv_beta backend): V must equal the blocked triangular
+    # inverse with EXACT zeros on the whole strict upper triangle (the
+    # in-tape K^-1 tiles contract full columns and rely on the zeros),
+    # and its stats must match the kinv variant's bit-for-bit.
+    vv, bv, fv = kinv_pallas._launch(L, x, want_kinv=False, want_v=True,
+                                     interpret=True)
+    linv64 = np.stack([np.linalg.inv(np.asarray(L, np.float64)[i])
+                       for i in range(P)])
+    vs = np.abs(linv64).max()
+    assert np.abs(np.triu(np.asarray(vv), 1)).max() == 0.0
+    assert np.abs(np.asarray(vv, np.float64)
+                  - np.tril(linv64)).max() / vs < 5e-4
+    np.testing.assert_allclose(np.asarray(bv, np.float64),
+                               np.asarray(bf3, np.float64), rtol=1e-6,
+                               atol=1e-7 * np.abs(bc).max())
+    np.testing.assert_allclose(np.asarray(fv, np.float64),
+                               np.asarray(ff3, np.float64), rtol=1e-6)

@@ -279,6 +279,20 @@ def test_kinv_beta_fused_vs_chain_and_f64(spd_batch):
     np.testing.assert_allclose(np.asarray(bsv, np.float64), bf, rtol=1e-6,
                                atol=1e-7 * bs)
     np.testing.assert_allclose(np.asarray(fsv, np.float64), ff, rtol=1e-6)
+    # linv_beta (in-tape K^-1 backend): V == the f64 inverse of the f32
+    # factor in the GRAD class, with EXACT zeros on the whole strict
+    # upper (the tape kernel's full-column contractions rely on them),
+    # and stats bit-identical to the other variants.
+    vv, bvv, fvv = jax.jit(
+        lambda L, x: jax.vmap(kinv_pallas.linv_beta)(L, x))(L, x)
+    vv = np.asarray(vv, np.float64)
+    linv64 = np.stack([np.linalg.inv(L32p[i]) for i in range(len(x))])
+    assert np.abs(np.triu(vv, 1)).max() == 0.0
+    assert np.abs(vv - np.tril(linv64)).max() / np.abs(linv64).max() \
+        < 2e-4
+    np.testing.assert_allclose(np.asarray(bvv, np.float64), bf, rtol=1e-6,
+                               atol=1e-7 * bs)
+    np.testing.assert_allclose(np.asarray(fvv, np.float64), ff, rtol=1e-6)
 
 
 def test_grad_precision_bwd_chain_error_bound():
