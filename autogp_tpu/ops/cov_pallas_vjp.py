@@ -24,6 +24,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from autogp_tpu import config as C
 from autogp_tpu import gp_math
+
+# lml_tape_fused backward backend: False = K^-1 via the kinv kernel
+# (measured faster at [64,1024,1024]; see bwd() comment), True = in-tape
+# K^-1 tiles off L^-1 column strips. Trace-time flag (A/B harness:
+# scripts/bench_grad_ab.py).
+INTAPE_LINV = False
 from autogp_tpu.ops import cov_pallas
 
 
@@ -534,24 +540,28 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
             pbar_ref[0, k] = jnp.sum(acc_ref[k, :])
 
 
-def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
+def _cov_grads_tape(node_type, params_t, kmat, ts, mask, depth_cap: int,
                     masked: bool, tile: int = None, tile_i: int = None,
                     interpret: bool = False, beta=None, gscale=None,
                     sym: bool = False, linv: bool = False):
     """Tape-driven gradient launch; returns (params_bar [M,3], noise_bar).
 
-    With `beta`/`gscale` given, `kbar` must be K^-1 and the cotangent
-    Kbar = 0.5*gscale*(beta beta^T - K^-1) is formed tile-by-tile inside
-    the kernel (lml_tape_fused's backward) instead of being materialized.
+    `kmat` is flag-dependent (the three meanings share one input slot):
+      - default: the cotangent Kbar itself;
+      - `beta`/`gscale` given: K^-1, and the cotangent
+        Kbar = 0.5*gscale*(beta beta^T - K^-1) is formed tile-by-tile
+        inside the kernel (lml_tape_fused's backward) instead of being
+        materialized;
+      - `linv=True` (requires beta/gscale AND sym): L^-1 (full [N,N],
+        zero strict upper — kinv_pallas.linv_beta) and each K^-1 tile is
+        formed in-kernel from two pipelined column strips of it (see
+        _bwd_kernel_tape); K^-1 never exists in HBM. The in-tape tile is
+        only exercised under the symmetric lower-triangle sweep.
+
     `sym=True` additionally restricts the sweep to the lower triangle
     with doubled off-diagonal weights (requires a symmetric cotangent;
     see _bwd_kernel_tape) — with lower_only K^-1 the upper-triangle
     blocks are then never read.
-
-    `linv=True` (requires beta/gscale): `kbar` is L^-1 (full [N,N], zero
-    strict upper — kinv_pallas.linv_beta) and each K^-1 tile is formed
-    in-kernel from two pipelined column strips of it (see
-    _bwd_kernel_tape); K^-1 never exists in HBM.
 
     Default tiles 128x256 measured best at N=1024/P=64/M=31 on v5e
     (4.66 ms vs 6.19 for 64x256, 6.41 for 128x128, 6.17 for 32x512):
@@ -573,6 +583,7 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                                                              depth_cap)
     fused = beta is not None
     assert not (linv and not fused)
+    assert not linv or sym, "in-tape K^-1 tiles are only exercised under sym"
     kernel = functools.partial(_bwd_kernel_tape, tile_i=tile_i,
                                tile_j=tile, masked=masked, n_acc=n_acc,
                                single_j=(N == tile), fused=fused, sym=sym,
@@ -593,7 +604,7 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, N), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        # For sym sweeps, clamp the kbar (K^-1 / L^-1-strip) block index
+        # For sym sweeps, clamp the kmat (K^-1 / L^-1-strip) block index
         # of skipped fully-upper tiles to the row's last valid j: the
         # block index is then unchanged from the previous grid step, so
         # Mosaic skips the re-fetch instead of streaming blocks that are
@@ -613,7 +624,7 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
               params_t[None].astype(dt),
               ts.reshape(N, 1).astype(dt), ts.reshape(1, N).astype(dt),
               mask.reshape(N, 1).astype(dt), mask.reshape(1, N).astype(dt),
-              kbar.astype(dt)]
+              kmat.astype(dt)]
     if fused:
         in_specs += [
             pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
@@ -627,7 +638,7 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                    beta.reshape(1, N).astype(dt),
                    jnp.asarray(gscale, dt).reshape(1, 1)]
     if linv:
-        # The j-tile strip of L^-1 (the same array as the kbar slot's
+        # The j-tile strip of L^-1 (the same array as the kmat slot's
         # i-strip); skipped fully-upper tiles clamp j as above.
         in_specs += [pl.BlockSpec(
             (N, tile),
@@ -635,7 +646,7 @@ def _cov_grads_tape(node_type, params_t, kbar, ts, mask, depth_cap: int,
                 j, (i * tile_i + tile_i - 1) // tile)))
             if sym else (lambda i, j: (0, j)),
             memory_space=pltpu.VMEM)]
-        inputs += [kbar.astype(dt)]
+        inputs += [kmat.astype(dt)]
     gout = pl.pallas_call(
         kernel,
         grid=(nIi, nI),
@@ -792,18 +803,30 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
 
     def bwd(res, g):
         par, L, alpha = res
-        # L^-1/beta from the VMEM-resident substitution kernel
-        # (ops/kinv_pallas.py) on TPU, the XLA blocked chain otherwise;
-        # each K^-1 tile is then formed INSIDE the tape kernel from two
-        # column strips of L^-1 (linv=True), so the [N,N] K^-1 never
-        # exists in HBM and its MXU contractions overlap the tape
-        # kernel's VPU tree sweeps.
+        # Two fused backends (A/B-able via INTAPE_LINV, default chosen by
+        # measurement — scripts/bench_grad_ab.py):
+        #   False: K^-1 formed lower-only in the VMEM-resident kinv
+        #     kernel (ops/kinv_pallas.py, bf16x3 contractions), the tape
+        #     kernel streams its tiles. Measured 11.5 ms grad batch
+        #     [64,1024,1024] v5e (r4) vs 14.0 ms for the linv mode: the
+        #     per-tile strip re-streaming of L^-1 (two [N, tile] strips
+        #     per lower tile ~ 20 MB/particle) costs more than the one
+        #     4 MB K^-1 HBM round trip it avoids.
+        #   True: L^-1 only; each K^-1 tile formed INSIDE the tape
+        #     kernel from two column strips (linv=True).
         from autogp_tpu.ops import kinv_pallas
-        V, beta, _ = kinv_pallas.linv_beta(L, alpha)
-        pbar, nbar = _cov_grads_tape(node_type, par, V, ts, mask,
-                                     depth_cap, masked=True,
-                                     interpret=interpret, beta=beta,
-                                     gscale=g, sym=True, linv=True)
+        if INTAPE_LINV:
+            V, beta, _ = kinv_pallas.linv_beta(L, alpha)
+            pbar, nbar = _cov_grads_tape(node_type, par, V, ts, mask,
+                                         depth_cap, masked=True,
+                                         interpret=interpret, beta=beta,
+                                         gscale=g, sym=True, linv=True)
+        else:
+            Kinv, beta, _ = kinv_pallas.kinv_beta(L, alpha)
+            pbar, nbar = _cov_grads_tape(node_type, par, Kinv, ts, mask,
+                                         depth_cap, masked=True,
+                                         interpret=interpret, beta=beta,
+                                         gscale=g, sym=True)
         return pbar, nbar
 
     f.defvjp(fwd, bwd)

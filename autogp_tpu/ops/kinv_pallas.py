@@ -167,6 +167,11 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
 def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
             want_sub: bool = True, want_stats: bool = True,
             fast: bool = True, want_v: bool = False):
+    # Mutually exclusive by construction: the kernel unpacks `rest` as
+    # 4 refs for want_kinv (with a scratch V) but 3 for want_v (V IS the
+    # output) — both at once would fail with an opaque unpack error deep
+    # in tracing.
+    assert not (want_kinv and want_v), "want_kinv and want_v are exclusive"
     from autogp_tpu import gp_math
     P, N, _ = L.shape
     nb = N // BLOCK

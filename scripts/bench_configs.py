@@ -431,24 +431,67 @@ def jax_block(x):
         else a, x)
 
 
+def render_table(rows, label):
+    lines = [f"| Config | TPU ({label}) | CPU ref-equivalent | speedup |",
+             "|---|---|---|---|"]
+    for cfgname, tpu_s, cpu_s, unit, note, wall_s in rows:
+        sp = "" if not np.isfinite(cpu_s) else f"**{cpu_s / tpu_s:.0f}x**"
+        tpu_cell = f"{tpu_s:.4g} {unit}"
+        if wall_s is not None:
+            tpu_cell += f" (device; wall {wall_s:.4g} {unit})"
+        lines.append(f"| {cfgname} | {tpu_cell} | {cpu_s:.4g} {unit} "
+                     f"| {sp} {note} |")
+    return "\n".join(lines)
+
+
+def write_artifacts(label):
+    """Persist the run: BENCH_CONFIGS.json (machine-readable, carries the
+    git rev so scripts/check_scoreboard.py can detect staleness) and the
+    BENCH.md table between the CONFIG_TABLE markers (the table is a
+    GENERATED artifact — kernels changed => re-run this script)."""
+    import json
+    import subprocess
+    rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd="/root/repo",
+                         capture_output=True, text=True).stdout.strip()
+    table = render_table(RESULTS, label)
+    with open("/root/repo/BENCH_CONFIGS.json", "w") as f:
+        json.dump({"label": label, "git_rev": rev,
+                   "rows": [dict(zip(("config", "tpu", "cpu", "unit",
+                                      "note", "wall"), r))
+                            for r in RESULTS]}, f, indent=1)
+    start = "<!-- CONFIG_TABLE_START (generated by scripts/bench_configs.py; do not hand-edit) -->"
+    end = "<!-- CONFIG_TABLE_END -->"
+    md = open("/root/repo/BENCH.md").read()
+    if start in md and end in md:
+        pre, rest = md.split(start, 1)
+        _, post = rest.split(end, 1)
+        md = pre + start + "\n" + table + "\n" + end + post
+        open("/root/repo/BENCH.md", "w").write(md)
+        log(f"BENCH.md config table regenerated ({label}, {rev[:9]})")
+    else:
+        log("BENCH.md markers missing; table not patched")
+
+
 def main():
+    import os
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     log(f"devices: {jax.devices()}")
-    config1()
-    config2()
-    config3()
-    config4and5()
-    print("\n| Config | TPU | CPU ref-equivalent | speedup |")
-    print("|---|---|---|---|")
-    for cfgname, tpu_s, cpu_s, unit, note, wall_s in RESULTS:
-        sp = "" if not np.isfinite(cpu_s) else f"{cpu_s / tpu_s:.0f}x"
-        tpu_cell = f"{tpu_s:.4g} {unit}"
-        if wall_s is not None:
-            tpu_cell += f" (device; wall {wall_s:.4g} {unit})"
-        print(f"| {cfgname} | {tpu_cell} | {cpu_s:.4g} {unit} "
-              f"| {sp} {note} |")
+    label = os.environ.get("AUTOGP_BENCH_LABEL", "r5")
+    only = os.environ.get("AUTOGP_BENCH_ONLY")
+    fns = {"1": config1, "2": config2, "3": config3, "45": config4and5}
+    if only:
+        for k in only.split(","):
+            fns[k]()
+    else:
+        config1()
+        config2()
+        config3()
+        config4and5()
+    print("\n" + render_table(RESULTS, label))
+    if not only:
+        write_artifacts(label)
 
 
 if __name__ == "__main__":

@@ -76,9 +76,25 @@ def main(pid: int, nprocs: int, port: int):
     # exchanged through the KV store and ALL workers retry until every
     # one of them succeeded in the same attempt — collectives are
     # collective, so a retry must be joined by every process.
-    from jax._src import distributed
-    client = distributed.global_state.client
-    client.wait_at_barrier("autogp-ref-done", timeout_in_ms=1_200_000)
+    # The coordination-service client is the only JAX surface that takes
+    # explicit timeouts (multihost_utils barriers ride gloo collectives,
+    # which have the very 30 s rendezvous limit we are working around).
+    # It is private API, so fail with a clear message if a JAX upgrade
+    # moves it rather than an AttributeError five frames deep.
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+        assert client is not None
+    except (ImportError, AttributeError, AssertionError) as e:
+        print("[worker] jax._src.distributed.global_state.client is "
+              f"unavailable in this JAX version ({e}); the rendezvous "
+              "retry protocol needs it — update multihost_worker.py",
+              flush=True)
+        sys.exit(3)
+    # Bounded: covers one cold compile of the reference fit on a
+    # contended 1-core host; fails fast (with the barrier name in the
+    # error) instead of hanging for 20 min if the peer died.
+    client.wait_at_barrier("autogp-ref-done", timeout_in_ms=600_000)
 
     mesh = pmesh.particle_mesh()  # global: spans both processes
     assert mesh.devices.size == n_global
@@ -95,9 +111,12 @@ def main(pid: int, nprocs: int, port: int):
             shd_try, ok = None, False
         client.key_value_set(f"autogp-st-{attempt}-{pid}",
                              "1" if ok else "0")
+        # By this point every worker has left the fit attempt (collectives
+        # synchronize the successes; a gloo timeout returns within its own
+        # 30 s limit), so peers post their status within seconds.
         peers_ok = all(
             client.blocking_key_value_get(f"autogp-st-{attempt}-{q}",
-                                          1_200_000) == "1"
+                                          120_000) == "1"
             for q in range(nprocs) if q != pid)
         if ok and peers_ok:
             shd = shd_try

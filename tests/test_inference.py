@@ -125,6 +125,7 @@ def test_mh_no_data_preserves_prior():
     assert np.abs(f0 - f1).max() < 0.12, (f0, f1)
 
 
+@pytest.mark.slow  # MC stationarity oracle, ~3 min
 def test_hmc_no_data_stationary_normal():
     """With empty data, HMC on params/noise targets N(0,1) exactly."""
     P = 128
@@ -343,6 +344,7 @@ def test_smc_anneal_depth_prior_oracle():
         assert abs(got - pw) < tol, (sk, got, pw, tol)
 
 
+@pytest.mark.slow  # MC posterior oracle, ~1 min
 def test_smc_anneal_depth_posterior_oracle():
     """DATA-dependent oracle for the depth-extension weight: the
     depth-annealed ensemble's structure posterior must match the

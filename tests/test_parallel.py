@@ -23,6 +23,7 @@ TAB = model.prior_tables(CFG)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow  # compile-heavy sharded round, ~45 s
 def test_sharded_smc_round_matches_unsharded():
     P = 16
     rng = np.random.default_rng(0)
@@ -57,6 +58,7 @@ def test_sharded_smc_round_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow  # subprocess dryrun compile, ~45 s
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     fn, args = g.entry()
@@ -96,6 +98,7 @@ def test_multihost_skeleton():
     assert np.isfinite(np.asarray(out.log_weights)).all()
 
 
+@pytest.mark.slow  # two-process fit, ~6 min (largest single test)
 def test_multihost_two_process():
     """REAL multi-process execution (SURVEY §5.8): two jax.distributed
     processes on localhost, 4 virtual CPU devices each, drive
@@ -136,6 +139,7 @@ def test_multihost_two_process():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow  # full sharded driver, ~40 s
 def test_fit_smc_mesh_matches_unsharded_full_driver():
     """Multi-chip through the PUBLIC API (VERDICT r2 next #1): GPModel +
     fit_smc with an 8-device mesh must run the FULL annealing driver

@@ -27,6 +27,7 @@ OK_MARKERS = {
 }
 
 
+@pytest.mark.slow  # e2e fits: ~6 min of the suite across the 5 scripts
 @pytest.mark.parametrize("script", SCRIPTS)
 def test_tutorial(script):
     env = dict(os.environ)
