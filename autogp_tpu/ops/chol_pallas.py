@@ -185,90 +185,100 @@ def _trailing_lower(A, L21, block, precision):
     return jnp.concatenate(Anew_rows, axis=1)
 
 
-def cholesky_batched(K, block: int = BLOCK, interpret: bool = False,
-                     subw: int = None):
-    """Lower-Cholesky of a batch [P, N, N] of SPD matrices.
+def _factor_driver(K, x=None, want_wd: bool = False, block: int = BLOCK,
+                   interpret: bool = False, subw: int = None):
+    """Right-looking blocked factorization.
 
-    N must be a multiple of `block`. Reads only the lower triangle.
+    Returns (L, alpha or None, Wd or None) where alpha = L^-1 x and
+    Wd[P, nb, B, B] stacks the per-panel diagonal-block inverses Lkk^-1
+    (reused by ops/kinv_pallas.py — recomputing them there cost a
+    measured 0.88 ms at [64,1024,1024]).
 
-    Right-looking blocked factorization where ONLY the [B, B] diagonal
-    block runs the sequential Pallas column recurrence; the off-diagonal
-    strip is L21 = A21 L11^-T formed against the blocked triangular
-    inverse of the factored diagonal, and the trailing update
-    A22 -= L21 L21^T — both plain batched MXU matmuls. Compared to
-    factoring the whole [B, N-r0] panel in-kernel this cuts the
-    sequential per-column work from [pp, W, m<=N] strips to [pp, W, B]
-    and lets ~4x more particles share one VMEM window (the panel is B^2,
-    not B*m), so the latency-bound column recurrence runs ~4x fewer
-    sequential program iterations."""
+    Only the [B, B] diagonal block runs the sequential Pallas column
+    recurrence; the off-diagonal strip L21 = A21 L11^-T rides the
+    blocked triangular inverse of the factored diagonal, and the
+    trailing update A22 -= L21 L21^T (lower blocks only) — both plain
+    batched MXU matmuls at HIGHEST. (A LEFT-looking variant that avoids
+    re-materializing the trailing A was measured SLOWER on v5e —
+    4.92 vs 4.50 ms chol batch, value e2e 6.95 vs 5.95 ms: the
+    dynamic_update_slice factor assembly and strided prefix reads cost
+    more than the trailing-A round trips they replace.)"""
+    from autogp_tpu import gp_math
     P, N, _ = K.shape
     assert N % block == 0, (N, block)
     nb = N // block
-    A = K
-    cols = []
     HI = jax.lax.Precision.HIGHEST
+    A = K
+    xcur = x
+    cols = []
+    alphas = []
+    wds = []
     for k in range(nb):
         r0 = k * block
         diag_t = jnp.swapaxes(A[:, :block, :block], 1, 2)  # [P, B, B]
         Lkk_t = _panel_factor(diag_t, interpret=interpret, subw=subw)
         Lkk = jnp.swapaxes(Lkk_t, 1, 2)                    # [P, B, B]
-        if k + 1 < nb:
-            from autogp_tpu import gp_math
+        need_inv = want_wd or x is not None or k + 1 < nb
+        if need_inv:
             Linv = gp_math.tri_inv_blocked(Lkk)            # [P, B, B]
+            if want_wd:
+                wds.append(Linv)
+        if x is not None:
+            a_k = jnp.einsum("pij,pj->pi", Linv, xcur[:, :block],
+                             preferred_element_type=K.dtype, precision=HI)
+            alphas.append(a_k)
+        if k + 1 < nb:
             A21 = A[:, block:, :block]                     # [P, m-B, B]
             L21 = jnp.einsum("pij,pkj->pik", A21, Linv,
                              preferred_element_type=K.dtype, precision=HI)
             A = _trailing_lower(A, L21, block, HI)
+            if x is not None:
+                xcur = xcur[:, block:] - jnp.einsum(
+                    "pij,pj->pi", L21, a_k,
+                    preferred_element_type=K.dtype, precision=HI)
             Lp = jnp.concatenate([Lkk, L21], axis=1)       # [P, N-r0, B]
         else:
             Lp = Lkk
         cols.append(jnp.concatenate(
             [jnp.zeros((P, r0, block), K.dtype), Lp], axis=1))
-    return jnp.concatenate(cols, axis=2)
+    L = jnp.concatenate(cols, axis=2)
+    alpha = None if x is None else jnp.concatenate(alphas, axis=1)
+    wd = jnp.stack(wds, axis=1) if want_wd else None
+    return L, alpha, wd
+
+
+def cholesky_batched(K, block: int = BLOCK, interpret: bool = False,
+                     subw: int = None):
+    """Lower-Cholesky of a batch [P, N, N] of SPD matrices.
+
+    N must be a multiple of `block`. Reads only the lower triangle.
+    See _factor_driver for the factorization structure."""
+    L, _, _ = _factor_driver(K, block=block, interpret=interpret,
+                             subw=subw)
+    return L
 
 
 def cholesky_solve_batched(K, x, block: int = BLOCK,
                            interpret: bool = False, subw: int = None):
     """(L, alpha = L^-1 x) for a batch [P, N, N] of SPD matrices.
 
-    Same factorization as cholesky_batched, with the RHS carried through
-    the panel loop: each panel's blocked triangular inverse (already
-    computed for the off-diagonal strip) also advances the forward
-    substitution — the standalone solve_lower_blocked costs ~1.9 ms at
-    [64,1024,1024] (it re-inverts the diagonal blocks); fused it is two
-    small matvecs per panel (~0.1 ms)."""
-    from autogp_tpu import gp_math
-    P, N, _ = K.shape
-    assert N % block == 0, (N, block)
-    nb = N // block
-    A = K
-    xcur = x
-    cols = []
-    alphas = []
-    HI = jax.lax.Precision.HIGHEST
-    for k in range(nb):
-        r0 = k * block
-        diag_t = jnp.swapaxes(A[:, :block, :block], 1, 2)
-        Lkk_t = _panel_factor(diag_t, interpret=interpret, subw=subw)
-        Lkk = jnp.swapaxes(Lkk_t, 1, 2)
-        Linv = gp_math.tri_inv_blocked(Lkk)
-        a_k = jnp.einsum("pij,pj->pi", Linv, xcur[:, :block],
-                         preferred_element_type=K.dtype, precision=HI)
-        alphas.append(a_k)
-        if k + 1 < nb:
-            A21 = A[:, block:, :block]
-            L21 = jnp.einsum("pij,pkj->pik", A21, Linv,
-                             preferred_element_type=K.dtype, precision=HI)
-            A = _trailing_lower(A, L21, block, HI)
-            xcur = xcur[:, block:] - jnp.einsum(
-                "pij,pj->pi", L21, a_k,
-                preferred_element_type=K.dtype, precision=HI)
-            Lp = jnp.concatenate([Lkk, L21], axis=1)
-        else:
-            Lp = Lkk
-        cols.append(jnp.concatenate(
-            [jnp.zeros((P, r0, block), K.dtype), Lp], axis=1))
-    return jnp.concatenate(cols, axis=2), jnp.concatenate(alphas, axis=1)
+    The RHS rides the panel loop: each panel's blocked triangular
+    inverse (already computed for the off-diagonal strip) also advances
+    the forward substitution — the standalone solve_lower_blocked costs
+    ~1.9 ms at [64,1024,1024] (it re-inverts the diagonal blocks);
+    fused it is two small matvecs per panel (~0.1 ms)."""
+    L, alpha, _ = _factor_driver(K, x=x, block=block, interpret=interpret,
+                                 subw=subw)
+    return L, alpha
+
+
+def cholesky_solve_wd_batched(K, x, block: int = BLOCK,
+                              interpret: bool = False, subw: int = None):
+    """(L, alpha, Wd): cholesky_solve_batched plus the per-panel
+    diagonal-block inverses, for reuse by kinv_pallas (lml_tape_fused's
+    backward)."""
+    return _factor_driver(K, x=x, want_wd=True, block=block,
+                          interpret=interpret, subw=subw)
 
 
 def supported(N: int, dtype) -> bool:
@@ -334,3 +344,57 @@ def _chol_solve_psd_vmap(axis_size, in_batched, K, x):
     alpha = jax.vmap(lambda l, v: jax.scipy.linalg.solve_triangular(
         l, v, lower=True))(L, x)
     return (L, alpha), (True, True)
+
+
+def _wd_fallback(L):
+    """Per-panel diagonal-block inverses off an existing factor (the
+    non-Pallas path of chol_solve_wd_psd; value-identical role to the
+    in-loop Linv collection, small [nb, B, B] work).
+
+    Must handle UNBATCHED [N, N] input: custom_vmap traces the primal
+    with per-particle tracers before its vmap rule replaces it."""
+    from autogp_tpu import gp_math
+    N = L.shape[-1]
+    if N % BLOCK != 0:
+        # Callers gate the wd consumer (kinv_beta_wd) on `supported`;
+        # keep a defined value for odd shapes.
+        nb = max(1, N // BLOCK)
+        return jnp.zeros(L.shape[:-2] + (nb, BLOCK, BLOCK), L.dtype)
+    nb = N // BLOCK
+    blocks = jnp.stack([L[..., k * BLOCK:(k + 1) * BLOCK,
+                          k * BLOCK:(k + 1) * BLOCK]
+                        for k in range(nb)], axis=-3)
+    return gp_math.tri_inv_blocked(blocks)
+
+
+def _chol_solve_wd_plain(K, x):
+    L, alpha = _chol_solve_plain(K, x)
+    return L, alpha, _wd_fallback(L)
+
+
+@jax.custom_batching.custom_vmap
+def chol_solve_wd_psd(K, x):
+    """(L, alpha = L^-1 x, Wd[nb, B, B] diagonal-block inverses).
+
+    Like chol_solve_psd, additionally returning the per-panel Lkk^-1
+    the factorization already computes — kinv_pallas reuses them
+    instead of re-running a 0.88 ms batched tri-inverse (lml_tape_fused
+    backward). NOT reverse-mode differentiable (custom_vmap) — use
+    inside custom_vjp rules only."""
+    return _chol_solve_wd_plain(K, x)
+
+
+@chol_solve_wd_psd.def_vmap
+def _chol_solve_wd_psd_vmap(axis_size, in_batched, K, x):
+    from autogp_tpu import backend
+    k_batched, x_batched = in_batched
+    if not (k_batched and x_batched):
+        K = K if k_batched else jnp.broadcast_to(K, (axis_size,) + K.shape)
+        x = x if x_batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+    if K.ndim == 3 and supported(K.shape[-1], K.dtype) \
+            and backend.use_pallas():
+        return cholesky_solve_wd_batched(K, x), (True, True, True)
+    L = _chol_lower(K)
+    alpha = jax.vmap(lambda l, v: jax.scipy.linalg.solve_triangular(
+        l, v, lower=True))(L, x)
+    return (L, alpha, jax.vmap(_wd_fallback)(L)), (True, True, True)

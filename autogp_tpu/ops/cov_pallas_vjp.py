@@ -543,7 +543,8 @@ def _bwd_kernel_tape(tslot_ref, ttype_ref, tlpos_ref, trpos_ref, tlen_ref,
 def _cov_grads_tape(node_type, params_t, kmat, ts, mask, depth_cap: int,
                     masked: bool, tile: int = None, tile_i: int = None,
                     interpret: bool = False, beta=None, gscale=None,
-                    sym: bool = False, linv: bool = False):
+                    sym: bool = False, linv: bool = False,
+                    a_cap: int = None):
     """Tape-driven gradient launch; returns (params_bar [M,3], noise_bar).
 
     `kmat` is flag-dependent (the three meanings share one input slot):
@@ -584,6 +585,11 @@ def _cov_grads_tape(node_type, params_t, kmat, ts, mask, depth_cap: int,
     fused = beta is not None
     assert not (linv and not fused)
     assert not linv or sym, "in-tape K^-1 tiles are only exercised under sym"
+    # Tape-storage cap: the val/adjoint scratch buffers are sized by the
+    # LONGEST tape the launch must handle, not the full heap. A smaller
+    # cap frees VMEM for larger tiles (fewer per-tile fixed costs).
+    # Callers must guarantee every particle's tape length <= a_cap.
+    a_cap = M if a_cap is None else min(a_cap, M)
     kernel = functools.partial(_bwd_kernel_tape, tile_i=tile_i,
                                tile_j=tile, masked=masked, n_acc=n_acc,
                                single_j=(N == tile), fused=fused, sym=sym,
@@ -655,8 +661,8 @@ def _cov_grads_tape(node_type, params_t, kmat, ts, mask, depth_cap: int,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_acc), dt),
         scratch_shapes=[
-            pltpu.VMEM((M, tile_i, tile), dt),
-            pltpu.VMEM((M, tile_i, tile), dt),
+            pltpu.VMEM((a_cap, tile_i, tile), dt),
+            pltpu.VMEM((a_cap, tile_i, tile), dt),
             pltpu.VMEM((n_acc, tile), dt),
         ],
         interpret=interpret,
@@ -789,20 +795,21 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
 
     def fwd(par, nz):
         # Same fused factor+solve as the primal: the value under grad is
-        # bit-identical to model.lml; tri_inv moves to the backward where
-        # it is gradient-only and runs at GRAD_PRECISION.
+        # bit-identical to model.lml (the wd variant runs the identical
+        # driver, additionally keeping the per-panel diagonal-block
+        # inverses it computes anyway for the backward's kinv kernel).
         from autogp_tpu.ops import chol_pallas
         K = cov_pallas.cov_matrix_tape(node_type, par, nz, ts, mask,
                                        depth_cap, interpret=interpret,
                                        lower_only=True)
-        L, alpha = chol_pallas.chol_solve_psd(K, xs * mask)
+        L, alpha, wd = chol_pallas.chol_solve_wd_psd(K, xs * mask)
         n = jnp.sum(mask)
         logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
         out = -0.5 * (n * gp_math.LOG2PI + logdet + jnp.sum(alpha * alpha))
-        return out, (par, L, alpha)
+        return out, (par, L, alpha, wd)
 
     def bwd(res, g):
-        par, L, alpha = res
+        par, L, alpha, wd = res
         # Two fused backends (A/B-able via INTAPE_LINV, default chosen by
         # measurement — scripts/bench_grad_ab.py):
         #   False: K^-1 formed lower-only in the VMEM-resident kinv
@@ -822,7 +829,7 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
                                          interpret=interpret, beta=beta,
                                          gscale=g, sym=True, linv=True)
         else:
-            Kinv, beta, _ = kinv_pallas.kinv_beta(L, alpha)
+            Kinv, beta, _ = kinv_pallas.kinv_beta_wd(L, alpha, wd)
             pbar, nbar = _cov_grads_tape(node_type, par, Kinv, ts, mask,
                                          depth_cap, masked=True,
                                          interpret=interpret, beta=beta,

@@ -166,7 +166,7 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
 
 def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
             want_sub: bool = True, want_stats: bool = True,
-            fast: bool = True, want_v: bool = False):
+            fast: bool = True, want_v: bool = False, wd=None):
     # Mutually exclusive by construction: the kernel unpacks `rest` as
     # 4 refs for want_kinv (with a scratch V) but 3 for want_v (V IS the
     # output) — both at once would fail with an opaque unpack error deep
@@ -176,11 +176,18 @@ def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
     P, N, _ = L.shape
     nb = N // BLOCK
     dt = L.dtype
-    # Diagonal-block inverses: one small batched tri-inverse (the only
-    # sequential-substitution work left on the XLA side).
-    blocks = gp_math._diag_blocks(L, BLOCK)                 # [P, nb, B, B]
-    Wd = gp_math.tri_inv_blocked(blocks,
-                                 precision=gp_math.GRAD_PRECISION)
+    if wd is not None:
+        # Reuse the factorization's own per-panel Lkk^-1
+        # (chol_pallas.chol_solve_wd_psd): skips a measured 0.88 ms
+        # batched tri-inverse at [64,1024,1024]. Computed at HIGHEST
+        # there (value path) vs GRAD_PRECISION here — strictly finer.
+        Wd = wd
+    else:
+        # Diagonal-block inverses: one small batched tri-inverse (the
+        # only sequential-substitution work left on the XLA side).
+        blocks = gp_math._diag_blocks(L, BLOCK)             # [P, nb, B, B]
+        Wd = gp_math.tri_inv_blocked(blocks,
+                                     precision=gp_math.GRAD_PRECISION)
     kernel = functools.partial(_kernel, nb=nb, want_kinv=want_kinv,
                                precision=jax.lax.Precision.HIGHEST,
                                want_sub=want_sub, want_stats=want_stats,
@@ -288,6 +295,31 @@ def _kinv_beta_vmap(axis_size, in_batched, L, alpha):
     if L.ndim == 3 and supported(L.shape[-1], L.dtype) \
             and backend.use_pallas():
         return _launch(L, alpha, want_kinv=True), (True, True, True)
+    return jax.vmap(_chain_one)(L, alpha), (True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def kinv_beta_wd(L, alpha, wd):
+    """kinv_beta with the per-panel diagonal-block inverses supplied by
+    the factorization (chol_pallas.chol_solve_wd_psd) instead of
+    recomputed here. `wd` is ignored on the fallback path (the XLA
+    chain re-derives everything from L)."""
+    del wd
+    return _chain_one(L, alpha)
+
+
+@kinv_beta_wd.def_vmap
+def _kinv_beta_wd_vmap(axis_size, in_batched, L, alpha, wd):
+    from autogp_tpu import backend
+    lb, ab, wb = in_batched
+    if not (lb and ab and wb):
+        L = L if lb else jnp.broadcast_to(L, (axis_size,) + L.shape)
+        alpha = alpha if ab else jnp.broadcast_to(
+            alpha, (axis_size,) + alpha.shape)
+        wd = wd if wb else jnp.broadcast_to(wd, (axis_size,) + wd.shape)
+    if L.ndim == 3 and supported(L.shape[-1], L.dtype) \
+            and backend.use_pallas() and wd.shape[-1] == BLOCK:
+        return _launch(L, alpha, want_kinv=True, wd=wd), (True, True, True)
     return jax.vmap(_chain_one)(L, alpha), (True, True, True)
 
 
