@@ -74,6 +74,32 @@ def main():
                 [jnp.zeros((P, r0, B), K.dtype), Lp], axis=1))
         return jnp.concatenate(cols, axis=2)
 
+    def chol_dus(K):
+        """Right-looking with dynamic_update_slice factor assembly
+        (no per-panel zero-concat, no final axis-2 concat)."""
+        nb = N // B
+        Acur = K
+        L = jnp.zeros((P, N, N), K.dtype)
+        HIp = jax.lax.Precision.HIGHEST
+        for k in range(nb):
+            r0, r1 = k * B, (k + 1) * B
+            diag_t = jnp.swapaxes(Acur[:, :B, :B], 1, 2)
+            Lkk = jnp.swapaxes(chol_pallas._panel_factor(diag_t), 1, 2)
+            L = jax.lax.dynamic_update_slice(L, Lkk, (0, r0, r0))
+            if k + 1 < nb:
+                Linv = gp_math.tri_inv_blocked(Lkk)
+                A21 = Acur[:, B:, :B]
+                L21 = jnp.einsum("pij,pkj->pik", A21, Linv,
+                                 preferred_element_type=K.dtype,
+                                 precision=HIp)
+                Acur = chol_pallas._trailing_lower(Acur, L21, B, HIp)
+                L = jax.lax.dynamic_update_slice(L, L21, (0, r1, r0))
+        return L
+
+    import functools as _ft
+    dt = device_time(lambda eps, K: chol_dus(K + eps * jnp.eye(N)), K)
+    log(f"{'chol DUS assembly':26s}: {dt*1e3:7.2f} ms")
+
     rows = [
         ("full cholesky_batched", dict()),
         ("  - tri_inv stubbed", dict(skip_tri=True)),

@@ -63,7 +63,7 @@ def main():
     Kinv, beta = jax.block_until_ready(stage())
 
     def make(tile, tile_i, a_cap):
-        def f(eps):
+        def f(eps, Kinv, beta):
             return jax.vmap(
                 lambda nt, p, kv, b: cov_pallas_vjp._cov_grads_tape(
                     nt, p, kv, data.ts, data.mask, cfg.depth_cap,
@@ -78,7 +78,7 @@ def main():
                             (256, 128, 19)]:
         f = make(tile, ti, cap)
         try:
-            out = jax.jit(f)(jnp.float32(0.0))
+            out = jax.jit(f)(jnp.float32(0.0), Kinv, beta)
             out = jax.tree_util.tree_map(np.asarray, out)
             if ref is None:
                 ref = out
@@ -88,7 +88,7 @@ def main():
                         zip(jax.tree_util.tree_leaves(ref),
                             jax.tree_util.tree_leaves(out)))
                 ok = f"maxdiff {d:.2e}"
-            dt = device_time(f)
+            dt = device_time(f, Kinv, beta)
             log(f"tape bwd kinv-mode tiles ({ti}x{tile}) a_cap={cap}: "
                 f"{dt*1e3:6.2f} ms  [{ok}]")
         except Exception as e:
