@@ -357,9 +357,13 @@ def mvn_logpdf_masked_cvjp(K, x, mask, pregram=False):
     """
     Km = K if pregram else masked_gram(K, mask)
     from autogp_tpu.ops import chol_pallas
-    L, alpha = chol_pallas.chol_solve_psd(Km, x * mask)
+    # Value-only entry: the diag variant never assembles the [N,N]
+    # factor (diag values bitwise identical to diag_fast(L), so the
+    # value stays bit-identical to the fwd rule below, which DOES need
+    # L as a residual).
+    d, alpha = chol_pallas.chol_solve_diag_psd(Km, x * mask)
     n = jnp.sum(mask)
-    logdet = 2.0 * jnp.sum(jnp.log(diag_fast(L)) * mask)
+    logdet = 2.0 * jnp.sum(jnp.log(d) * mask)
     return -0.5 * (n * LOG2PI + logdet + jnp.sum(alpha * alpha))
 
 

@@ -50,17 +50,18 @@ def main():
     df = pd.read_csv(os.path.join(REPO, "docs/tutorials/assets/iclaims.csv"))
     ds = pd.to_datetime(df[df.columns[0]])
     y = np.log(df[df.columns[1]].to_numpy(float))
-    n_train, n_step = 300, 354 - 89
+    n_step = 354 - 89          # train prefix of the online run
+    n_train = n_step           # late step: all current data observed
     P, n_mcmc, n_hmc = 8, 20, 10
 
     autogp_tpu.seed(3)
     model = autogp_tpu.GPModel(ds[:n_step], y[:n_step], n_particles=P,
                                config=GPConfig())
     # Reach a representative late state cheaply: a short annealed fit.
-    autogp_tpu.fit_smc(model, schedule=[75, 150, 225, 300], n_mcmc=5,
+    autogp_tpu.fit_smc(model, schedule=[66, 132, 198, n_step], n_mcmc=5,
                        n_hmc=5, verbose=False)
 
-    data = model._dataset(n=n_train)
+    data = model._dataset(pad_to=smc.bucket_size(n_step))
     hc = H.HMCConfig(n_exit=10)
     round_fn = smc.smc_round_jit(model.config, model.tables, n_mcmc,
                                  n_hmc, False, hc, model.config.noise is
@@ -72,7 +73,7 @@ def main():
     jax.block_until_ready(parts2.log_weights)
     ds_query = np.concatenate([A.to_numeric(ds),
                                A.to_numeric(ds)[-1]
-                               + np.arange(1, 27) * 7 * 86400.0 * 1e9])
+                               + np.arange(1, 27) * 7 * 86400.0])
     t_csv = 0.0
 
     def one_step(k):
