@@ -187,7 +187,7 @@ def _trailing_lower(A, L21, block, precision):
 
 def _factor_driver(K, x=None, want_wd: bool = False, block: int = BLOCK,
                    interpret: bool = False, subw: int = None,
-                   want_l: bool = True):
+                   want_l: bool = True, want_strips: bool = False):
     """Right-looking blocked factorization.
 
     Returns (L, alpha or None, Wd or None) where alpha = L^-1 x and
@@ -215,6 +215,7 @@ def _factor_driver(K, x=None, want_wd: bool = False, block: int = BLOCK,
     alphas = []
     wds = []
     diags = []
+    strips = []
     for k in range(nb):
         r0 = k * block
         diag_t = jnp.swapaxes(A[:, :block, :block], 1, 2)  # [P, B, B]
@@ -240,9 +241,12 @@ def _factor_driver(K, x=None, want_wd: bool = False, block: int = BLOCK,
                 xcur = xcur[:, block:] - jnp.einsum(
                     "pij,pj->pi", L21, a_k,
                     preferred_element_type=K.dtype, precision=HI)
-            Lp = jnp.concatenate([Lkk, L21], axis=1) if want_l else None
+            Lp = (jnp.concatenate([Lkk, L21], axis=1)
+                  if (want_l or want_strips) else None)
         else:
-            Lp = Lkk if want_l else None
+            Lp = Lkk if (want_l or want_strips) else None
+        if want_strips:
+            strips.append(Lp)
         if want_l:
             cols.append(jnp.concatenate(
                 [jnp.zeros((P, r0, block), K.dtype), Lp], axis=1))
@@ -254,7 +258,122 @@ def _factor_driver(K, x=None, want_wd: bool = False, block: int = BLOCK,
          else jnp.concatenate(diags, axis=1))
     alpha = None if x is None else jnp.concatenate(alphas, axis=1)
     wd = jnp.stack(wds, axis=1) if want_wd else None
-    return L, alpha, wd
+    return L, alpha, wd, tuple(strips)
+
+
+def _factor_driver_o2(K, x=None, want_wd: bool = False,
+                      block: int = BLOCK, interpret: bool = False,
+                      subw: int = None, want_l: bool = True,
+                      want_strips: bool = False):
+    """Two-level variant of _factor_driver: panels stay B=128 (the Pallas
+    recurrence sweet spot) but the trailing update runs once per OUTER
+    2B-block as a single rank-2B MXU dot — the shrinking trailing matrix
+    re-materializes half as many times (the dominant data-movement cost
+    of the one-level driver: ~9.2 MB/particle of A round trips at
+    [64,1024,1024] -> ~4.6 MB). Identical math; trailing accumulation
+    regrouped (two rank-B subtractions fold into one rank-2B dot).
+
+    Requires nb even. Same return convention as _factor_driver."""
+    from autogp_tpu import gp_math
+    P, N, _ = K.shape
+    nb = N // block
+    assert nb % 2 == 0 and N % block == 0, (N, block)
+    HI = jax.lax.Precision.HIGHEST
+    B = block
+    A = K
+    xcur = x
+    cols = []
+    alphas = []
+    wds = []
+    diags = []
+    strips = []
+
+    def emit(Lkk, Lbelow, r0):
+        """Collect per-panel outputs (strip/col/diag) for a panel whose
+        below-diagonal rows are Lbelow ([P, N-r0-B, B] or None)."""
+        if not want_l:
+            diags.append(jnp.diagonal(Lkk, axis1=1, axis2=2))
+        Lp = (Lkk if Lbelow is None or Lbelow.shape[1] == 0
+              else jnp.concatenate([Lkk, Lbelow], axis=1))
+        if want_strips:
+            strips.append(Lp)
+        if want_l:
+            cols.append(jnp.concatenate(
+                [jnp.zeros((P, r0, B), K.dtype), Lp], axis=1))
+
+    for ok in range(nb // 2):
+        r0 = 2 * ok * B
+        m = N - r0                       # current trailing size
+        # --- inner panel 0 --------------------------------------------
+        Lkk0 = jnp.swapaxes(_panel_factor(
+            jnp.swapaxes(A[:, :B, :B], 1, 2), interpret=interpret,
+            subw=subw), 1, 2)
+        W0 = gp_math.tri_inv_blocked(Lkk0)
+        if want_wd:
+            wds.append(W0)
+        L21a = jnp.einsum("pij,pkj->pik", A[:, B:, :B], W0,
+                          preferred_element_type=K.dtype, precision=HI)
+        T1 = L21a[:, :B, :]              # L[r0+B:r0+2B, r0:r0+B]
+        low = L21a[:, B:, :]             # L[r0+2B:, r0:r0+B]
+        # --- inner panel 1 (targeted column update only) --------------
+        A11 = A[:, B:2 * B, B:2 * B] - jnp.einsum(
+            "pib,pjb->pij", T1, T1, preferred_element_type=K.dtype,
+            precision=HI)
+        Lkk1 = jnp.swapaxes(_panel_factor(
+            jnp.swapaxes(A11, 1, 2), interpret=interpret, subw=subw),
+            1, 2)
+        W1 = gp_math.tri_inv_blocked(Lkk1)
+        if want_wd:
+            wds.append(W1)
+        if m > 2 * B:
+            C1 = A[:, 2 * B:, B:2 * B] - jnp.einsum(
+                "pib,pjb->pij", low, T1, preferred_element_type=K.dtype,
+                precision=HI)
+            L21b = jnp.einsum("pij,pkj->pik", C1, W1,
+                              preferred_element_type=K.dtype,
+                              precision=HI)
+        else:
+            L21b = jnp.zeros((P, 0, B), K.dtype)
+        # --- solve ----------------------------------------------------
+        if x is not None:
+            a0 = jnp.einsum("pij,pj->pi", W0, xcur[:, :B],
+                            preferred_element_type=K.dtype, precision=HI)
+            alphas.append(a0)
+            rhs1 = xcur[:, B:2 * B] - jnp.einsum(
+                "pij,pj->pi", T1, a0, preferred_element_type=K.dtype,
+                precision=HI)
+            a1 = jnp.einsum("pij,pj->pi", W1, rhs1,
+                            preferred_element_type=K.dtype, precision=HI)
+            alphas.append(a1)
+            if m > 2 * B:
+                xcur = (xcur[:, 2 * B:]
+                        - jnp.einsum("pij,pj->pi", low, a0,
+                                     preferred_element_type=K.dtype,
+                                     precision=HI)
+                        - jnp.einsum("pij,pj->pi", L21b, a1,
+                                     preferred_element_type=K.dtype,
+                                     precision=HI))
+        # --- emit panel outputs --------------------------------------
+        emit(Lkk0, L21a, r0)
+        emit(Lkk1, L21b, r0 + B)
+        # --- ONE rank-2B trailing update -----------------------------
+        if m > 2 * B:
+            Lw = jnp.concatenate([low, L21b], axis=2)   # [P, m-2B, 2B]
+            A = _trailing_lower(A, Lw, 2 * B, HI)
+    L = (jnp.concatenate(cols, axis=2) if want_l
+         else jnp.concatenate(diags, axis=1))
+    alpha = None if x is None else jnp.concatenate(alphas, axis=1)
+    wd = jnp.stack(wds, axis=1) if want_wd else None
+    return L, alpha, wd, tuple(strips)
+
+
+def _driver(K, **kw):
+    """Dispatch: two-level trailing when the shape allows (nb even,
+    >= 4 panels — below that there is no trailing traffic to save)."""
+    nb = K.shape[-1] // kw.get("block", BLOCK)
+    if nb % 2 == 0 and nb >= 4:
+        return _factor_driver_o2(K, **kw)
+    return _factor_driver(K, **kw)
 
 
 def cholesky_batched(K, block: int = BLOCK, interpret: bool = False,
@@ -263,8 +382,7 @@ def cholesky_batched(K, block: int = BLOCK, interpret: bool = False,
 
     N must be a multiple of `block`. Reads only the lower triangle.
     See _factor_driver for the factorization structure."""
-    L, _, _ = _factor_driver(K, block=block, interpret=interpret,
-                             subw=subw)
+    L, _, _, _ = _driver(K, block=block, interpret=interpret, subw=subw)
     return L
 
 
@@ -277,8 +395,8 @@ def cholesky_solve_batched(K, x, block: int = BLOCK,
     the forward substitution — the standalone solve_lower_blocked costs
     ~1.9 ms at [64,1024,1024] (it re-inverts the diagonal blocks);
     fused it is two small matvecs per panel (~0.1 ms)."""
-    L, alpha, _ = _factor_driver(K, x=x, block=block, interpret=interpret,
-                                 subw=subw)
+    L, alpha, _, _ = _driver(K, x=x, block=block, interpret=interpret,
+                             subw=subw)
     return L, alpha
 
 
@@ -287,8 +405,9 @@ def cholesky_solve_wd_batched(K, x, block: int = BLOCK,
     """(L, alpha, Wd): cholesky_solve_batched plus the per-panel
     diagonal-block inverses, for reuse by kinv_pallas (lml_tape_fused's
     backward)."""
-    return _factor_driver(K, x=x, want_wd=True, block=block,
-                          interpret=interpret, subw=subw)
+    L, alpha, wd, _ = _driver(K, x=x, want_wd=True, block=block,
+                              interpret=interpret, subw=subw)
+    return L, alpha, wd
 
 
 def cholesky_solve_diag_batched(K, x, block: int = BLOCK,
@@ -297,9 +416,71 @@ def cholesky_solve_diag_batched(K, x, block: int = BLOCK,
 
     Skips assembling the [P, N, N] factor entirely — the pure value path
     (mvn_logpdf primal) reads only the diagonal and the solve."""
-    d, alpha, _ = _factor_driver(K, x=x, want_l=False, block=block,
-                                 interpret=interpret, subw=subw)
+    d, alpha, _, _ = _driver(K, x=x, want_l=False, block=block,
+                             interpret=interpret, subw=subw)
     return d, alpha
+
+
+def cholesky_solve_strips_batched(K, x, block: int = BLOCK,
+                                  interpret: bool = False,
+                                  subw: int = None):
+    """(diag(L) [P,N], alpha, Wd, strip_0, ..., strip_{nb-1}).
+
+    The gradient-path factorization: the factor is returned as its nb
+    BLOCK-COLUMN STRIPS (strip_k = L[r0:N, r0:r0+B], shape
+    [P, N-k*B, B]) instead of an assembled [P, N, N] array — the only
+    consumer (ops/kinv_pallas substitution) reads exactly these strips,
+    so the per-panel zero-concat and final axis-2 concat never happen
+    and the kernel streams half the bytes (the zero upper triangle
+    never exists)."""
+    d, alpha, wd, strips = _driver(
+        K, x=x, want_wd=True, want_l=False, want_strips=True,
+        block=block, interpret=interpret, subw=subw)
+    return (d, alpha, wd) + strips
+
+
+def strips_to_l(diag_or_none, strips, N: int = None):
+    """Assemble a full lower factor [.., N, N] from block-column strips
+    (fallback paths only — the Pallas path never materializes this)."""
+    parts = []
+    B = strips[0].shape[-1]
+    N = N if N is not None else strips[0].shape[-2]
+    for k, sk in enumerate(strips):
+        r0 = k * B
+        pad = jnp.zeros(sk.shape[:-2] + (r0, B), sk.dtype)
+        parts.append(jnp.concatenate([pad, sk], axis=-2))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _chol_solve_strips_plain(K, x):
+    L, alpha = _chol_solve_plain(K, x)
+    wd = _wd_fallback(L)
+    N = L.shape[-1]
+    strips = tuple(L[..., k * BLOCK:, k * BLOCK:(k + 1) * BLOCK]
+                   for k in range(max(1, N // BLOCK)))
+    return (jnp.diagonal(L, axis1=-2, axis2=-1), alpha, wd) + strips
+
+
+@jax.custom_batching.custom_vmap
+def chol_solve_strips_psd(K, x):
+    """Strips-form factor+solve (see cholesky_solve_strips_batched).
+    NOT reverse-mode differentiable — custom_vjp rules only."""
+    return _chol_solve_strips_plain(K, x)
+
+
+@chol_solve_strips_psd.def_vmap
+def _chol_solve_strips_psd_vmap(axis_size, in_batched, K, x):
+    from autogp_tpu import backend
+    k_batched, x_batched = in_batched
+    if not (k_batched and x_batched):
+        K = K if k_batched else jnp.broadcast_to(K, (axis_size,) + K.shape)
+        x = x if x_batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+    if K.ndim == 3 and supported(K.shape[-1], K.dtype) \
+            and backend.use_pallas():
+        out = cholesky_solve_strips_batched(K, x)
+    else:
+        out = jax.vmap(_chol_solve_strips_plain)(K, x)
+    return out, tuple(True for _ in out)
 
 
 def supported(N: int, dtype) -> bool:

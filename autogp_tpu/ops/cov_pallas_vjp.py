@@ -864,23 +864,37 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
                                        lower_only=True)
         return gp_math.mvn_logpdf_masked_cvjp(K, xs, mask, True)
 
+    from autogp_tpu import backend
+    N = ts.shape[0]
+    # Strips-form factor (diag + block-column strips, no [N,N] assembly)
+    # whenever the blocked layout applies; the INTAPE_LINV backend still
+    # needs the assembled L for its substitution kernel.
+    use_strips = (N % 128 == 0 and not INTAPE_LINV)
+
     def fwd(par, nz):
         # Same fused factor+solve as the primal: the value under grad is
-        # bit-identical to model.lml (the wd variant runs the identical
-        # driver, additionally keeping the per-panel diagonal-block
-        # inverses it computes anyway for the backward's kinv kernel).
+        # bit-identical to model.lml (the wd/strips variants run the
+        # identical driver, additionally keeping the per-panel diagonal-
+        # block inverses computed anyway for the backward's kinv kernel).
         from autogp_tpu.ops import chol_pallas
         K = cov_pallas.cov_matrix_tape(node_type, par, nz, ts, mask,
                                        depth_cap, interpret=interpret,
                                        lower_only=True)
-        L, alpha, wd = chol_pallas.chol_solve_wd_psd(K, xs * mask)
+        if use_strips:
+            d, alpha, wd, *strips = chol_pallas.chol_solve_strips_psd(
+                K, xs * mask)
+            res = (par, alpha, wd, tuple(strips))
+        else:
+            L, alpha, wd = chol_pallas.chol_solve_wd_psd(K, xs * mask)
+            d = gp_math.diag_fast(L)
+            res = (par, alpha, wd, L)
         n = jnp.sum(mask)
-        logdet = 2.0 * jnp.sum(jnp.log(gp_math.diag_fast(L)) * mask)
+        logdet = 2.0 * jnp.sum(jnp.log(d) * mask)
         out = -0.5 * (n * gp_math.LOG2PI + logdet + jnp.sum(alpha * alpha))
-        return out, (par, L, alpha, wd)
+        return out, res
 
     def bwd(res, g):
-        par, L, alpha, wd = res
+        par, alpha, wd, factor = res
         # Two fused backends (A/B-able via INTAPE_LINV, default chosen by
         # measurement — scripts/bench_grad_ab.py):
         #   False: K^-1 formed lower-only in the VMEM-resident kinv
@@ -894,13 +908,18 @@ def lml_tape_fused(node_type, params_t, noise, ts, xs, mask, depth_cap: int,
         #     kernel from two column strips (linv=True).
         from autogp_tpu.ops import kinv_pallas
         if INTAPE_LINV:
-            V, beta, _ = kinv_pallas.linv_beta(L, alpha)
+            V, beta, _ = kinv_pallas.linv_beta(factor, alpha)
             pbar, nbar = _cov_grads_tape(node_type, par, V, ts, mask,
                                          depth_cap, masked=True,
                                          interpret=interpret, beta=beta,
                                          gscale=g, sym=True, linv=True)
+        elif use_strips:
+            Kinv, beta, _ = kinv_pallas.kinv_beta_strips(alpha, wd,
+                                                         *factor)
+            pbar, nbar = _tape_grads_sym_fn(depth_cap, interpret)(
+                node_type, par, Kinv, beta, jnp.asarray(g), ts, mask)
         else:
-            Kinv, beta, _ = kinv_pallas.kinv_beta_wd(L, alpha, wd)
+            Kinv, beta, _ = kinv_pallas.kinv_beta_wd(factor, alpha, wd)
             pbar, nbar = _tape_grads_sym_fn(depth_cap, interpret)(
                 node_type, par, Kinv, beta, jnp.asarray(g), ts, mask)
         return pbar, nbar

@@ -72,7 +72,15 @@ def supported(N: int, dtype) -> bool:
 
 def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
             precision, want_sub: bool = True, want_stats: bool = True,
-            fast: bool = True, want_v: bool = False):
+            fast: bool = True, want_v: bool = False,
+            strips: bool = False):
+    if strips:
+        # l_ref is strip_0; rest starts with strips 1..nb-1 (strip_k =
+        # L[kB:N, kB:(k+1)B], block [1, N-kB, B]) — the factor arrives as
+        # block-column strips straight from the factorization, never
+        # assembled into an [N, N] array (chol_solve_strips_psd).
+        srefs = (l_ref,) + rest[:nb - 1]
+        rest = rest[nb - 1:]
     if want_kinv:
         kinv_ref, beta_ref, fro_ref, V = rest
     elif want_v:
@@ -112,7 +120,9 @@ def _kernel(wd_ref, al_ref, l_ref, *rest, nb: int, want_kinv: bool,
                                   ((1,), (0,)))
         V[r0:r1, r0:r1] = wd_ref[0, k]
         if k + 1 < nb:
-            upd = dot(l_ref[0, r1:N, r0:r1], V[r0:r1, 0:r1], ((1,), (0,)))
+            lstrip = (srefs[k][0, B:, :] if strips
+                      else l_ref[0, r1:N, r0:r1])
+            upd = dot(lstrip, V[r0:r1, 0:r1], ((1,), (0,)))
             # columns < k accumulate; column k's first contribution
             # overwrites the stale scratch.
             if k > 0:
@@ -230,6 +240,84 @@ def _launch(L, alpha, want_kinv: bool, interpret: bool = False,
         return mat, beta[:, 0, :], fro[:, 0, 0]
     beta, fro = outs
     return beta[:, 0, :], fro[:, 0, 0]
+
+
+def _launch_strips(alpha, wd, strips, interpret: bool = False,
+                   fast: bool = True):
+    """kinv_beta (want_kinv) fed by block-column strips of L instead of
+    the assembled factor: the strictly-upper zeros never stream, and the
+    factorization never pays the [N, N] assembly concats."""
+    P, N = alpha.shape
+    nb = N // BLOCK
+    assert len(strips) == nb, (len(strips), nb)
+    dt = alpha.dtype
+    kernel = functools.partial(_kernel, nb=nb, want_kinv=True,
+                               precision=jax.lax.Precision.HIGHEST,
+                               fast=fast, strips=True)
+    in_specs = [
+        pl.BlockSpec((1, nb, BLOCK, BLOCK), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, N - k * BLOCK, BLOCK), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for k in range(nb)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((P, N, N), dt),
+                 jax.ShapeDtypeStruct((P, 1, N), dt),
+                 jax.ShapeDtypeStruct((P, 1, 1), dt)]
+    out_specs = [pl.BlockSpec((1, N, N), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.SMEM)]
+    kinv, beta, fro = pl.pallas_call(
+        kernel,
+        grid=(P,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((N, N), dt)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        cost_estimate=pl.CostEstimate(
+            flops=P * N * N * N * 2 // 3,
+            bytes_accessed=P * N * N * 4 * 3 // 2,
+            transcendentals=0),
+    )(wd, alpha[:, :, None], *strips)
+    return kinv, beta[:, 0, :], fro[:, 0, 0]
+
+
+def _chain_one_strips(alpha, wd, *strips):
+    from autogp_tpu.ops import chol_pallas
+    L = chol_pallas.strips_to_l(None, strips)
+    return _chain_one(L, alpha)
+
+
+@jax.custom_batching.custom_vmap
+def kinv_beta_strips(alpha, wd, *strips):
+    """(K^-1 lower-only, beta, ||L^-1||_F^2) off the strips-form factor
+    (chol_pallas.chol_solve_strips_psd). Fallback reassembles L."""
+    return _chain_one_strips(alpha, wd, *strips)
+
+
+@kinv_beta_strips.def_vmap
+def _kinv_beta_strips_vmap(axis_size, in_batched, alpha, wd, *strips):
+    from autogp_tpu import backend
+    args = [alpha, wd] + list(strips)
+    for i, (a, b) in enumerate(zip(args, in_batched)):
+        if not b:
+            args[i] = jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+    alpha, wd, strips = args[0], args[1], tuple(args[2:])
+    N = alpha.shape[-1]
+    if alpha.ndim == 2 and supported(N, alpha.dtype) \
+            and backend.use_pallas() and wd.shape[-1] == BLOCK:
+        return _launch_strips(alpha, wd, strips), (True, True, True)
+    return jax.vmap(_chain_one_strips)(alpha, wd, *strips), \
+        (True, True, True)
 
 
 def dot3(a, b, dims):
