@@ -90,6 +90,15 @@ class GPConfig:
       - `static_max_depth`: static cap on tree depth used for the tensor
         trace when `max_depth == -1` ("unbounded" in the reference). All
         shapes derive from it; the prior forces a leaf at this depth.
+        Measured trade-off (BENCH.md "Pricing the depth cap", r5): on
+        the TPU, raising the cap is nearly free — flagship batch runtime
+        is flat (6.85/6.78/6.96 ms at depth 5/6/7; the instruction tape
+        executes only active nodes) and round-program compile grows
+        24->35->37 s — while the 1-core HOST (CPU-fallback lowering)
+        pays ~1.8x trace time per level (47/59/112 s). Default 5 clips
+        ~6.1% of the reference's unbounded prior mass (6: ~2.9%,
+        7: ~1.4%); TPU production runs that want reference-faithful
+        depth should set static_max_depth=6 or 7.
     """
     node_dist_leaf: Tuple[float, ...] = _normalize([0., 1, 0, 1, 1])
     node_dist_nocp: Tuple[float, ...] = _normalize([0., 6, 0, 6, 6, 5, 5])

@@ -444,21 +444,38 @@ def render_table(rows, label):
     return "\n".join(lines)
 
 
-def write_artifacts(label):
+def write_artifacts(label, merge: bool = False):
     """Persist the run: BENCH_CONFIGS.json (machine-readable, carries the
     git rev so scripts/check_scoreboard.py can detect staleness) and the
     BENCH.md table between the CONFIG_TABLE markers (the table is a
-    GENERATED artifact — kernels changed => re-run this script)."""
+    GENERATED artifact — kernels changed => re-run this script).
+
+    merge=True (partial AUTOGP_BENCH_ONLY re-runs): rows measured this
+    run replace their same-config predecessors from the existing
+    BENCH_CONFIGS.json; other rows carry over."""
     import json
     import subprocess
+    rows = list(RESULTS)
+    if merge:
+        try:
+            old = json.load(open("/root/repo/BENCH_CONFIGS.json"))["rows"]
+        except (OSError, KeyError, ValueError):
+            old = []
+        new_names = {r[0] for r in rows}
+        kept = [tuple(r.get(k) for k in ("config", "tpu", "cpu", "unit",
+                                         "note", "wall"))
+                for r in old if r.get("config") not in new_names]
+        order = {r.get("config"): i for i, r in enumerate(old)}
+        rows = sorted(kept + rows,
+                      key=lambda r: order.get(r[0], len(order)))
     rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd="/root/repo",
                          capture_output=True, text=True).stdout.strip()
-    table = render_table(RESULTS, label)
+    table = render_table(rows, label)
     with open("/root/repo/BENCH_CONFIGS.json", "w") as f:
         json.dump({"label": label, "git_rev": rev,
                    "rows": [dict(zip(("config", "tpu", "cpu", "unit",
                                       "note", "wall"), r))
-                            for r in RESULTS]}, f, indent=1)
+                            for r in rows]}, f, indent=1)
     start = "<!-- CONFIG_TABLE_START (generated by scripts/bench_configs.py; do not hand-edit) -->"
     end = "<!-- CONFIG_TABLE_END -->"
     md = open("/root/repo/BENCH.md").read()
@@ -490,8 +507,7 @@ def main():
         config3()
         config4and5()
     print("\n" + render_table(RESULTS, label))
-    if not only:
-        write_artifacts(label)
+    write_artifacts(label, merge=bool(only))
 
 
 if __name__ == "__main__":

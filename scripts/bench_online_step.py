@@ -90,7 +90,8 @@ def main():
         t_pred = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        logp = autogp_tpu.predict_proba(model, ds[n_step:])
+        logp = autogp_tpu.predict_proba(model, ds[n_step:],
+                                         y[n_step:])
         t_proba = time.perf_counter() - t0
 
         t0 = time.perf_counter()
