@@ -439,12 +439,12 @@ def cholesky_solve_strips_batched(K, x, block: int = BLOCK,
     return (d, alpha, wd) + strips
 
 
-def strips_to_l(diag_or_none, strips, N: int = None):
+def strips_to_l(strips):
     """Assemble a full lower factor [.., N, N] from block-column strips
     (fallback paths only — the Pallas path never materializes this)."""
     parts = []
     B = strips[0].shape[-1]
-    N = N if N is not None else strips[0].shape[-2]
+    N = strips[0].shape[-2]
     for k, sk in enumerate(strips):
         r0 = k * B
         pad = jnp.zeros(sk.shape[:-2] + (r0, B), sk.dtype)

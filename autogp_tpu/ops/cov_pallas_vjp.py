@@ -24,13 +24,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from autogp_tpu import config as C
 from autogp_tpu import gp_math
+from autogp_tpu.ops import cov_pallas
 
 # lml_tape_fused backward backend: False = K^-1 via the kinv kernel
 # (measured faster at [64,1024,1024]; see bwd() comment), True = in-tape
 # K^-1 tiles off L^-1 column strips. Trace-time flag (A/B harness:
 # scripts/bench_grad_ab.py).
 INTAPE_LINV = False
-from autogp_tpu.ops import cov_pallas
 
 
 def _acc(acc_ref, idx, value):

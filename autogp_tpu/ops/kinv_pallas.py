@@ -293,7 +293,7 @@ def _launch_strips(alpha, wd, strips, interpret: bool = False,
 
 def _chain_one_strips(alpha, wd, *strips):
     from autogp_tpu.ops import chol_pallas
-    L = chol_pallas.strips_to_l(None, strips)
+    L = chol_pallas.strips_to_l(strips)
     return _chain_one(L, alpha)
 
 
